@@ -1,0 +1,84 @@
+"""Differentiable interpolation utilities.
+
+TPU-native re-design of reference `src/utils.jl:20-97`:
+  * `flatten_repeated_last_dim` — joins per-action trajectories that share
+    endpoint frames into one contiguous sequence.
+  * `linear_interp` / `LinearInterpolation` — mask-based, AD-friendly batched
+    linear interpolation over time-keyed latent fields (used by the design
+    encoder inside the latent rollout scan).
+
+Layout: batch-leading, time/sequence axes explicit. The reference keys
+`X: (knots, batch)` / `Y: (features, knots, batch)`; here `X: (B, K)`,
+`Y: (B, K, E)`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+def flatten_repeated_last_dim(x: jax.Array) -> jax.Array:
+    """Join K consecutive windows of length T that share endpoints.
+
+    x: (..., K, T) where x[..., i, -1] == x[..., i+1, 0].
+    Returns (..., T + (K-1)*(T-1)).
+    Reference `src/utils.jl:20-35` (axes transposed: it is (T, K) there).
+    """
+    head = x[..., 0, :]
+    tail = x[..., 1:, 1:]
+    tail = tail.reshape(*tail.shape[:-2], tail.shape[-2] * tail.shape[-1])
+    return jnp.concatenate([head, tail], axis=-1)
+
+
+def linear_interp(X: jax.Array, Y: jax.Array, t: jax.Array) -> jax.Array:
+    """Batched 1D linear interpolation, differentiable by construction.
+
+    X: (B, K) strictly increasing knots; Y: (B, K, E); t: (B,).
+    Returns (B, E). Out-of-range t yields zeros (mask never matches), the
+    same behavior as the reference (`src/utils.jl:69-97`). When t equals the
+    final knot exactly, the last segment is used (the reference's
+    `final_step` short-circuit).
+    """
+    tb = t[:, None]
+    l, r = X[:, :-1], X[:, 1:]
+    final = (r == r[:, -1:]) & (r[:, -1:] == tb)
+    mask = ((l <= tb) & (tb < r)) | final
+    m = mask.astype(Y.dtype)
+    x0 = jnp.sum(l * m, axis=1)
+    y0 = jnp.einsum("bk,bke->be", m, Y[:, :-1, :])
+    dX = r - l
+    slope = (Y[:, 1:, :] - Y[:, :-1, :]) / jnp.where(dX == 0, 1.0, dX)[..., None]
+    dydx = jnp.einsum("bk,bke->be", m, slope)
+    return y0 + (t - x0)[:, None] * dydx
+
+
+def _register(cls):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=[f.name for f in dataclasses.fields(cls)], meta_fields=[]
+    )
+    return cls
+
+
+@_register
+@dataclass(frozen=True)
+class LinearInterpolation:
+    """Callable pytree: t (B,) -> (B, E) (reference `src/utils.jl:88-97`)."""
+
+    X: jax.Array  # (B, K)
+    Y: jax.Array  # (B, K, E)
+
+    def __call__(self, t: jax.Array) -> jax.Array:
+        return linear_interp(self.X, self.Y, t)
+
+
+def evaluate_over_time(f, t: jax.Array) -> jax.Array:
+    """Evaluate a batched time-callable over a full (B, T) time grid.
+
+    Returns (B, T, E). Equivalent of reference `evaluate_over_time`
+    (`src/model/pinn.jl:21-23`), vmapped over the time axis instead of a
+    Julia comprehension.
+    """
+    return jax.vmap(f, in_axes=1, out_axes=1)(t)
