@@ -1,0 +1,187 @@
+"""Episode data generation, horizon windowing, storage, batching.
+
+TPU-native re-design of reference `src/data.jl`. Episodes are pytrees with a
+leading action axis; generation runs the jitted env step in a Python loop
+(one device dispatch per action window) or fully `lax.scan`-fused; windowing
+(`prepare_data`) is pure array ops; storage is npz of named leaves (the
+reference uses BSON, `src/data.jl:60-71`).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .env import WaveEnv, env_observe, env_reset, env_step, env_terminated
+from .utils.interp import flatten_repeated_last_dim
+from .utils.trees import register_pytree_dataclass, tree_index, tree_stack
+
+
+@register_pytree_dataclass
+@dataclass(frozen=True)
+class Episode:
+    """One episode: A = number of actions (reference `Episode`,
+    `src/data.jl:3-8`).
+
+    s_wave:   (A, res, res, 4)  observation images
+    s_design: design pytree with leading axis A (observed design at step i)
+    s_tspan:  (A, T+1)
+    a:        action pytree with leading axis A
+    y:        (A, T+1, 3) energy signals
+    """
+
+    s_wave: jax.Array
+    s_design: Any
+    s_tspan: jax.Array
+    a: Any
+    y: jax.Array
+
+    def __len__(self):
+        return self.s_wave.shape[0]
+
+
+@jax.jit
+def _episode_scan(env: WaveEnv, state, actions):
+    """Scan the whole episode on device: one dispatch for A action windows."""
+
+    def body(st, action):
+        obs = env_observe(env, st)
+        st2, info = env_step(env, st, action)
+        return st2, (obs.wave, obs.design, info["tspan"], st2.signal)
+
+    final_state, (s_wave, s_design, s_tspan, y) = jax.lax.scan(body, state, actions)
+    return final_state, Episode(s_wave=s_wave, s_design=s_design, s_tspan=s_tspan, a=actions, y=y)
+
+
+def generate_episode(env: WaveEnv, policy, key: jax.Array, reset: bool = True, state=None):
+    """Roll one full episode (reference `generate_episode!`,
+    `src/data.jl:12-33`): A = env.actions windows, random policy actions
+    sampled up front (they are state-independent for RandomDesignPolicy).
+
+    Returns (final_state, Episode).
+    """
+    k_reset, k_actions = jax.random.split(key)
+    if reset or state is None:
+        state = env_reset(env, k_reset)
+    action_keys = jax.random.split(k_actions, env.actions)
+    actions = jax.vmap(policy)(action_keys)
+    return _episode_scan(env, state, actions)
+
+
+def prepare_data(episode: Episode, horizon: int):
+    """Sliding-window horizon batching (reference `prepare_data`,
+    `src/data.jl:35-58`).
+
+    Returns a dict of stacked samples with leading axis
+    S = A - horizon + 1:
+      s_wave   (S, res, res, 4)
+      s_design design pytree (S, ...)
+      a        action pytree (S, horizon, ...)
+      t        (S, horizon*T + 1) joined tspans
+      y        (S, horizon*T + 1, 3) joined signals
+    """
+    A = len(episode)
+    S = A - horizon + 1
+    assert S >= 1, f"horizon {horizon} > episode length {A}"
+    idx = jnp.arange(S)
+
+    win = idx[:, None] + jnp.arange(horizon)[None, :]  # (S, horizon)
+
+    s_wave = episode.s_wave[idx]
+    s_design = tree_index(episode.s_design, idx)
+    a = jax.tree_util.tree_map(lambda x: x[win], episode.a)
+
+    # tspans: (S, horizon, T+1) -> flatten shared endpoints -> (S, horizon*T+1)
+    t = flatten_repeated_last_dim(episode.s_tspan[win])
+    # signals: (S, horizon, T+1, 3) -> per-channel flatten
+    y_win = episode.y[win]  # (S, horizon, T+1, 3)
+    y = flatten_repeated_last_dim(jnp.moveaxis(y_win, -1, 1))  # (S, 3, L)
+    y = jnp.moveaxis(y, 1, -1)  # (S, L, 3)
+
+    return {"s_wave": s_wave, "s_design": s_design, "a": a, "t": t, "y": y}
+
+
+def concat_datasets(datasets: list[dict]) -> dict:
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *datasets
+    )
+
+
+def num_samples(data: dict) -> int:
+    return data["s_wave"].shape[0]
+
+
+def dataloader(data: dict, batch_size: int, key: jax.Array, drop_last: bool = True):
+    """Shuffled minibatch iterator over a prepared dataset."""
+    n = num_samples(data)
+    perm = jax.random.permutation(key, n)
+    n_batches = n // batch_size if drop_last else -(-n // batch_size)
+    for b in range(n_batches):
+        idx = perm[b * batch_size : (b + 1) * batch_size]
+        yield jax.tree_util.tree_map(lambda x: x[idx], data)
+
+
+# ---------------------------------------------------------------------------
+# Storage (npz of named leaves; reference uses BSON)
+# ---------------------------------------------------------------------------
+
+
+def _flatten_named(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat}
+
+
+def save_episode(episode: Episode, path: str):
+    np.savez_compressed(path, **_flatten_named(episode))
+
+
+def load_episode(path: str, like: Episode | None = None) -> Episode:
+    """Load an episode saved by `save_episode`. Requires a structural
+    template `like` when the design/action pytree types cannot be inferred;
+    episodes produced by this framework's standard Cloak envs load without
+    one."""
+    data = np.load(path)
+    if like is None:
+        from .designs import AdjustableRadiiScatterers, Cloak, Cylinders
+
+        def cyl(prefix):
+            return Cylinders(
+                pos=jnp.asarray(data[prefix + ".cylinders.pos"])
+                if prefix + ".cylinders.pos" in data
+                else jnp.asarray(data[prefix + ".pos"]),
+                r=jnp.asarray(data.get(prefix + ".cylinders.r", data.get(prefix + ".r"))),
+                c=jnp.asarray(data.get(prefix + ".cylinders.c", data.get(prefix + ".c"))),
+            )
+
+        def cloak(prefix):
+            return Cloak(
+                config=AdjustableRadiiScatterers(
+                    Cylinders(
+                        pos=jnp.asarray(data[prefix + ".config.cylinders.pos"]),
+                        r=jnp.asarray(data[prefix + ".config.cylinders.r"]),
+                        c=jnp.asarray(data[prefix + ".config.cylinders.c"]),
+                    )
+                ),
+                core=Cylinders(
+                    pos=jnp.asarray(data[prefix + ".core.pos"]),
+                    r=jnp.asarray(data[prefix + ".core.r"]),
+                    c=jnp.asarray(data[prefix + ".core.c"]),
+                ),
+            )
+
+        return Episode(
+            s_wave=jnp.asarray(data[".s_wave"]),
+            s_design=cloak(".s_design"),
+            s_tspan=jnp.asarray(data[".s_tspan"]),
+            a=cloak(".a"),
+            y=jnp.asarray(data[".y"]),
+        )
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    named = _flatten_named(like)
+    keys = list(named.keys())
+    new_leaves = [jnp.asarray(data[k]) for k in keys]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

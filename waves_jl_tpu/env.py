@@ -1,0 +1,275 @@
+"""Pure-functional RL environment around the differentiable FDTD simulator.
+
+TPU-native re-design of the mutable `WaveEnv` (reference `src/env.jl`): the
+environment is a frozen parameter pytree + explicit `EnvState`, stepped by
+jitted pure functions `(env, state, action) -> (state', info)` with PRNG keys
+for reset randomness. The 100-step integration window, design interpolation,
+wavespeed rasterization and energy separation all run in one fused device
+program — eliminating the reference's 400 GPU->CPU syncs per step
+(`src/env.jl:99-102`).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .constants import WATER
+from .designs import (
+    DesignInterpolator,
+    DesignSpace,
+    SpeedField,
+    build_action_space,
+)
+from .dims import TwoDim, build_grid, build_wave, get_dx, get_dy
+from .physics.dynamics import Integrator, build_tspan, make_acoustic_dynamics_2d
+from .utils.trees import register_pytree_dataclass
+
+FRAMESKIP = 10  # frame history stride (reference `src/env.jl:90`)
+N_FRAMES = 3
+
+
+@register_pytree_dataclass(
+    meta_fields=("resolution", "dt", "integration_steps", "actions")
+)
+@dataclass(frozen=True)
+class WaveEnv:
+    """Static environment parameters (reference `WaveEnv` kwargs,
+    `src/env.jl:37-67`)."""
+
+    dim: TwoDim
+    grid: jax.Array  # (nx, ny, 2)
+    design_space: DesignSpace
+    action_space: DesignSpace
+    source: Any  # template source (resampled on reset)
+    integrator: Integrator
+    action_speed: jax.Array
+    resolution: tuple = (128, 128)
+    dt: float = 1e-5
+    integration_steps: int = 100
+    actions: int = 10
+
+    @property
+    def c0(self) -> float:
+        return self.integrator.dynamics.c0
+
+
+@register_pytree_dataclass
+@dataclass(frozen=True)
+class EnvState:
+    """Explicit environment state (the reference's mutable fields,
+    `src/env.jl:14-31`)."""
+
+    wave: jax.Array  # (N_FRAMES, 12, nx, ny) frame history, last = current
+    design: Any
+    source: Any
+    signal: jax.Array  # (steps+1, 3) [tot, inc, sc] energies of last window
+    time_step: jax.Array  # int32 scalar
+
+
+@register_pytree_dataclass
+@dataclass(frozen=True)
+class WaveEnvState:
+    """Observation record (reference `WaveEnvState`, `src/env.jl:5-12`):
+    resized displacement frames + source shape image, action-window tspan,
+    current design."""
+
+    tspan: jax.Array  # (steps+1,)
+    wave: jax.Array  # (res, res, N_FRAMES + 1) — 3 frames + source shape
+    design: Any
+
+
+def make_wave_env(
+    dim: TwoDim,
+    design_space: DesignSpace,
+    source,
+    action_speed: float = 250.0,
+    c0: float = WATER,
+    pml_width: float = 2.0,
+    pml_scale: float = 20000.0,
+    resolution: tuple = (128, 128),
+    dt: float = 1e-5,
+    integration_steps: int = 100,
+    actions: int = 10,
+) -> WaveEnv:
+    """Factory with the reference defaults (`src/env.jl:37-50`)."""
+    assert all(s > r for s, r in zip(dim.shape, resolution)), (
+        "Resolution must be less than finite element grid."
+    )
+    dynamics = make_acoustic_dynamics_2d(dim, c0, pml_width, pml_scale)
+    integrator = Integrator(dynamics=dynamics, dt=dt)
+    # action scale = action_speed * dt * steps (reference `src/env.jl:143-145`)
+    scale = action_speed * dt * integration_steps
+    action_space = build_action_space(design_space.low, scale)
+    return WaveEnv(
+        dim=dim,
+        grid=build_grid(dim),
+        design_space=design_space,
+        action_space=action_space,
+        source=source,
+        integrator=integrator,
+        action_speed=jnp.float32(action_speed),
+        resolution=tuple(resolution),
+        dt=float(dt),
+        integration_steps=int(integration_steps),
+        actions=int(actions),
+    )
+
+
+def env_reset(env: WaveEnv, key: jax.Array) -> EnvState:
+    """Zero wave, random design, resampled source (reference
+    `RLBase.reset!`, `src/env.jl:81-88`)."""
+    k_design, k_source = jax.random.split(key)
+    design = env.design_space.sample(k_design)
+    source = env.source.resample(k_source) if hasattr(env.source, "resample") else env.source
+    wave = jnp.zeros((N_FRAMES, 12, *env.dim.shape), dtype=jnp.float32)
+    signal = jnp.zeros((env.integration_steps + 1, 3), dtype=jnp.float32)
+    return EnvState(
+        wave=wave,
+        design=design,
+        source=source,
+        signal=signal,
+        time_step=jnp.int32(0),
+    )
+
+
+def env_time(env: WaveEnv, state: EnvState) -> jax.Array:
+    return state.time_step.astype(jnp.float32) * env.dt
+
+
+def env_tspan(env: WaveEnv, state: EnvState) -> jax.Array:
+    return env_time(env, state) + build_tspan(0.0, env.dt, env.integration_steps)
+
+
+def _energy_triple(u: jax.Array, d_omega) -> jax.Array:
+    """[total, incident, scattered] displacement energies
+    (reference `src/env.jl:104-111`)."""
+    u_tot = u[0]
+    u_inc = u[6]
+    u_sc = u_tot - u_inc
+    return jnp.stack(
+        [
+            jnp.sum(u_tot**2) * d_omega,
+            jnp.sum(u_inc**2) * d_omega,
+            jnp.sum(u_sc**2) * d_omega,
+        ]
+    )
+
+
+def env_step(env: WaveEnv, state: EnvState, action) -> tuple[EnvState, dict]:
+    """One action window: clamp action -> design lerp -> 100-step fused
+    rollout -> energy separation -> frame history (reference `env(action)`,
+    `src/env.jl:91-121`).
+
+    The rollout is segmented so the (steps+1)-frame trajectory is never
+    materialized: per-step energies are scan outputs, full states are kept
+    only at the N_FRAMES frameskip boundaries.
+    """
+    tspan = env_tspan(env, state)
+    ti = env_time(env, state)
+
+    next_design = env.design_space(state.design, action)
+    interp = DesignInterpolator(state.design, next_design, ti, tspan[-1])
+    C = SpeedField(interp=interp, grid=env.grid, c0=jnp.float32(env.c0))
+    theta = (C, state.source)
+
+    it = env.integrator
+    d_omega = get_dx(env.dim) * get_dy(env.dim)
+
+    def body(u, t):
+        u2 = it.step(u, t, theta)
+        return u2, _energy_triple(u2, d_omega)
+
+    steps = env.integration_steps
+    seg_lens = [steps - (N_FRAMES - 1) * FRAMESKIP] + [FRAMESKIP] * (N_FRAMES - 1)
+    u = state.wave[-1]
+    frames = []
+    energies = [_energy_triple(u, d_omega)[None]]
+    offset = 0
+    for seg in seg_lens:
+        u, es = jax.lax.scan(body, u, jax.lax.dynamic_slice_in_dim(tspan, offset, seg))
+        frames.append(u)
+        energies.append(es)
+        offset += seg
+
+    signal = jnp.concatenate(energies, axis=0)  # (steps+1, 3)
+    new_wave = jnp.stack(frames, axis=0)  # frames at steps-2*fs, -fs, steps
+
+    new_state = EnvState(
+        wave=new_wave,
+        design=next_design,
+        source=state.source,
+        signal=signal,
+        time_step=state.time_step + env.integration_steps,
+    )
+    info = {"tspan": tspan}
+    return new_state, info
+
+
+def env_step_full(env: WaveEnv, state: EnvState, action):
+    """Like env_step but also returns the full displacement trajectories
+    (u_tot, u_inc): (steps+1, nx, ny) each — the reference's return value
+    (`src/env.jl:120`), used for rendering."""
+    tspan = env_tspan(env, state)
+    ti = env_time(env, state)
+    next_design = env.design_space(state.design, action)
+    interp = DesignInterpolator(state.design, next_design, ti, tspan[-1])
+    C = SpeedField(interp=interp, grid=env.grid, c0=jnp.float32(env.c0))
+    theta = (C, state.source)
+    traj = env.integrator(state.wave[-1], tspan, theta)  # (T+1, 12, nx, ny)
+
+    d_omega = get_dx(env.dim) * get_dy(env.dim)
+    u_tot, u_inc = traj[:, 0], traj[:, 6]
+    u_sc = u_tot - u_inc
+    signal = jnp.stack(
+        [
+            jnp.sum(u_tot**2, axis=(1, 2)) * d_omega,
+            jnp.sum(u_inc**2, axis=(1, 2)) * d_omega,
+            jnp.sum(u_sc**2, axis=(1, 2)) * d_omega,
+        ],
+        axis=-1,
+    )
+    steps = env.integration_steps
+    idx = jnp.array([steps - 2 * FRAMESKIP, steps - FRAMESKIP, steps])
+    new_state = EnvState(
+        wave=traj[idx],
+        design=next_design,
+        source=state.source,
+        signal=signal,
+        time_step=state.time_step + env.integration_steps,
+    )
+    return new_state, {"tspan": tspan, "u_tot": u_tot, "u_inc": u_inc, "interp": interp}
+
+
+def env_observe(env: WaveEnv, state: EnvState) -> WaveEnvState:
+    """Observation: 3 displacement frames + source shape resized to
+    `resolution`, channels-last (reference `RLBase.state`,
+    `src/env.jl:132-137`, host imresize -> on-device jax.image.resize)."""
+    u_frames = state.wave[:, 0]  # (N_FRAMES, nx, ny) total displacement
+    shape = state.source.shape
+    img = jnp.concatenate([u_frames, shape[None]], axis=0)  # (4, nx, ny)
+    img = jnp.moveaxis(img, 0, -1)  # (nx, ny, 4)
+    img = jax.image.resize(img, (*env.resolution, img.shape[-1]), method="linear")
+    return WaveEnvState(tspan=env_tspan(env, state), wave=img, design=state.design)
+
+
+def env_reward(state: EnvState) -> jax.Array:
+    """Sum of the last window's signal (reference `src/env.jl:147-149`)."""
+    return jnp.sum(state.signal)
+
+
+def env_terminated(env: WaveEnv, state: EnvState) -> jax.Array:
+    return state.time_step >= env.actions * env.integration_steps
+
+
+@register_pytree_dataclass
+@dataclass(frozen=True)
+class RandomDesignPolicy:
+    """Uniform random action sampler (reference `src/env.jl:151-157`)."""
+
+    action_space: DesignSpace
+
+    def __call__(self, key: jax.Array):
+        return self.action_space.sample(key)
