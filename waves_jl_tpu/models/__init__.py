@@ -1,0 +1,9 @@
+from .acoustic_energy_model import (
+    AcousticEnergyModel,
+    SinusoidalSource,
+    compute_latent_energy,
+    energy_loss,
+)
+from .design_encoder import DesignMLP, design_encoder_apply, unroll_design_sequence
+from .layers import CNNBase, MLP, ResidualBlock, embed_sin, leaky_relu, sin_basis
+from .wave_encoder import WaveEncoder, WaveEncoderScalarHead

@@ -1,0 +1,178 @@
+"""AcousticEnergyModel — the flagship surrogate ("ours" / cPILS-numerical).
+
+Parity with reference `src/model/acoustic_energy_model.jl`:
+  wave encoder -> z0 (4 latent fields) + latent source shape F + learned PML;
+  design encoder -> C(t);
+  latent 1D acoustic rollout through the scan-fused Integrator (gradients
+  via jax.checkpoint rematerialization instead of the reference's
+  hand-written adjoint rrule);
+  energy readout sum(z^2) dx for total/incident/scattered.
+
+The model is a plain orchestrator over flax modules with an explicit params
+pytree — the design-space clamp unroll and the physics rollout carry no
+parameters and stay pure.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..designs import DesignSpace
+from ..dims import OneDim, one_dim
+from ..physics.dynamics import AcousticDynamics1D, Integrator, make_acoustic_dynamics_1d
+from ..sources import Source
+from ..utils.interp import LinearInterpolation
+from .design_encoder import DesignMLP, design_encoder_apply, unroll_design_sequence
+from .layers import embed_sin, sin_basis
+from .wave_encoder import WaveEncoder
+
+
+def compute_latent_energy(z: jax.Array, dx) -> jax.Array:
+    """z: (L, B, 4, E) time-leading latent trajectory -> (B, L, 3)
+    [tot, inc, sc] energies (reference
+    `src/model/acoustic_energy_model.jl:6-15`)."""
+    tot = z[:, :, 0]  # (L, B, E)
+    inc = z[:, :, 2]
+    sc = tot - inc
+    e = jnp.stack(
+        [
+            jnp.sum(tot**2, axis=-1) * dx,
+            jnp.sum(inc**2, axis=-1) * dx,
+            jnp.sum(sc**2, axis=-1) * dx,
+        ],
+        axis=-1,
+    )  # (L, B, 3)
+    return jnp.moveaxis(e, 0, 1)
+
+
+@dataclass(frozen=True)
+class SinusoidalSource:
+    """Learnable latent source: shape = sine-basis(freq_coefs)
+    (reference `src/model/acoustic_energy_model.jl:17-34`). Present for
+    parity; in the flagship model the latent source shape comes from the
+    wave encoder (as in the reference, whose trainable SinusoidalSource
+    coefficients receive no gradient — `get_parameters_and_initial_condition`
+    uses `Source(x[:, 5, :], F.freq)`)."""
+
+    basis: jax.Array
+    freq: float
+
+    def init_coefs(self, key, nfreq: int):
+        return jax.random.normal(key, (nfreq,), jnp.float32) / jnp.sqrt(
+            jnp.float32(nfreq)
+        )
+
+    def shape(self, coefs):
+        return embed_sin(self.basis, coefs)
+
+
+@dataclass(frozen=True)
+class AcousticEnergyModel:
+    """Static configuration + non-trainable physics; params live in an
+    explicit pytree {"wave_encoder", "design_encoder"}."""
+
+    wave_encoder: WaveEncoder
+    design_mlp: DesignMLP
+    design_space: DesignSpace
+    dynamics: AcousticDynamics1D
+    integrator: Integrator
+    latent_dim: OneDim
+    source_freq: float
+    integration_steps: int
+
+    @classmethod
+    def create(
+        cls,
+        design_space: DesignSpace,
+        source_freq: float,
+        elements: int = 1024,
+        latent_grid_size: float = 100.0,
+        h_size: int = 256,
+        nfreq: int = 500,
+        pml_width: float = 10.0,
+        pml_scale: float = 10000.0,
+        c0: float = 1531.0,
+        dt: float = 1e-5,
+        integration_steps: int = 100,
+        checkpoint: str = "sqrt",
+    ) -> "AcousticEnergyModel":
+        """Reference hyperparameters from `scripts/main.jl:121-141`."""
+        latent_dim = one_dim(latent_grid_size, elements)
+        dynamics = make_acoustic_dynamics_1d(latent_dim, c0, pml_width, pml_scale)
+        integrator = Integrator(dynamics=dynamics, dt=dt, checkpoint=checkpoint)
+        return cls(
+            wave_encoder=WaveEncoder(
+                h_size=h_size,
+                nfreq=nfreq,
+                elements=elements,
+                latent_grid_size=latent_grid_size,
+            ),
+            design_mlp=DesignMLP(
+                h_size=h_size,
+                nfreq=nfreq,
+                elements=elements,
+                latent_grid_size=latent_grid_size,
+            ),
+            design_space=design_space,
+            dynamics=dynamics,
+            integrator=integrator,
+            latent_dim=latent_dim,
+            source_freq=float(source_freq),
+            integration_steps=int(integration_steps),
+        )
+
+    @property
+    def dx(self):
+        x = self.latent_dim.x
+        return (x[-1] - x[0]) / (x.shape[0] - 1)
+
+    def init(self, key: jax.Array, sample_batch) -> dict:
+        k1, k2 = jax.random.split(key)
+        s_wave, s_design, a, t = (
+            sample_batch["s_wave"],
+            sample_batch["s_design"],
+            sample_batch["a"],
+            sample_batch["t"],
+        )
+        we_params = self.wave_encoder.init(k1, s_wave)
+        vecs = unroll_design_sequence(self.design_space, s_design, a)
+        de_params = self.design_mlp.init(k2, vecs)
+        return {"wave_encoder": we_params, "design_encoder": de_params}
+
+    def get_parameters_and_initial_condition(self, params, batch):
+        """(z0, theta=(C, F, PML)) — reference
+        `src/model/acoustic_energy_model.jl:89-97`."""
+        x = self.wave_encoder.apply(params["wave_encoder"], batch["s_wave"])  # (B,6,E)
+        z0 = x[:, 0:4]
+        F = Source(shape=x[:, 4], freq=jnp.float32(self.source_freq))
+        PML = x[:, 5]
+        C = design_encoder_apply(
+            self.design_mlp,
+            params["design_encoder"],
+            self.design_space,
+            batch["s_design"],
+            batch["a"],
+            batch["t"],
+            self.integration_steps,
+        )
+        return z0, (C, F, PML)
+
+    def generate_latent_solution(self, params, batch) -> jax.Array:
+        """(L, B, 4, E) latent trajectory (reference
+        `src/model/acoustic_energy_model.jl:99-102`)."""
+        z0, theta = self.get_parameters_and_initial_condition(params, batch)
+        return self.integrator(z0, batch["t"], theta)
+
+    def __call__(self, params, batch) -> jax.Array:
+        """(B, L, 3) predicted energies."""
+        z = self.generate_latent_solution(params, batch)
+        return compute_latent_energy(z, self.dx)
+
+
+def energy_loss(model: AcousticEnergyModel, params, batch) -> jax.Array:
+    """MSE on all three energy channels (reference `scripts/main.jl:10-12`)."""
+    pred = model(params, batch)
+    return jnp.mean((pred - batch["y"]) ** 2)
