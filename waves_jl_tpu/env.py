@@ -183,7 +183,8 @@ def env_step(env: WaveEnv, state: EnvState, action) -> tuple[EnvState, dict]:
         return u2, _energy_triple(u2, d_omega)
 
     steps = env.integration_steps
-    seg_lens = [steps - (N_FRAMES - 1) * FRAMESKIP] + [FRAMESKIP] * (N_FRAMES - 1)
+    fs = min(FRAMESKIP, steps // (N_FRAMES - 1))
+    seg_lens = [steps - (N_FRAMES - 1) * fs] + [fs] * (N_FRAMES - 1)
     u = state.wave[-1]
     frames = []
     energies = [_energy_triple(u, d_omega)[None]]
@@ -232,7 +233,8 @@ def env_step_full(env: WaveEnv, state: EnvState, action):
         axis=-1,
     )
     steps = env.integration_steps
-    idx = jnp.array([steps - 2 * FRAMESKIP, steps - FRAMESKIP, steps])
+    fs = min(FRAMESKIP, steps // (N_FRAMES - 1))
+    idx = jnp.array([steps - 2 * fs, steps - fs, steps])
     new_state = EnvState(
         wave=traj[idx],
         design=next_design,

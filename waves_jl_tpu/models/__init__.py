@@ -5,5 +5,7 @@ from .acoustic_energy_model import (
     energy_loss,
 )
 from .design_encoder import DesignMLP, design_encoder_apply, unroll_design_sequence
+from .node import NODEDynamics, NODEEnergyModel, node_loss
+from .pinn import WaveControlPINN, WaveControlPINNLoss, build_pinn_grid
 from .layers import CNNBase, MLP, ResidualBlock, embed_sin, leaky_relu, sin_basis
 from .wave_encoder import WaveEncoder, WaveEncoderScalarHead

@@ -80,6 +80,8 @@ class AcousticEnergyModel:
     dynamics: AcousticDynamics1D
     integrator: Integrator
     latent_dim: OneDim
+    n_elements: int
+    latent_grid_size: float
     source_freq: float
     integration_steps: int
 
@@ -120,14 +122,15 @@ class AcousticEnergyModel:
             dynamics=dynamics,
             integrator=integrator,
             latent_dim=latent_dim,
+            n_elements=int(elements),
+            latent_grid_size=float(latent_grid_size),
             source_freq=float(source_freq),
             integration_steps=int(integration_steps),
         )
 
     @property
-    def dx(self):
-        x = self.latent_dim.x
-        return (x[-1] - x[0]) / (x.shape[0] - 1)
+    def dx(self) -> float:
+        return 2.0 * self.latent_grid_size / (self.n_elements - 1)
 
     def init(self, key: jax.Array, sample_batch) -> dict:
         k1, k2 = jax.random.split(key)
