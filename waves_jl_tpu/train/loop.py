@@ -1,0 +1,138 @@
+"""Training loop: optax + gradient accumulation + validation + checkpoints.
+
+TPU-native re-design of reference `scripts/main.jl:52-119`: the jitted train
+step fuses loss, backward (through the latent rollout with rematerialization)
+and the optimizer update; gradient accumulation uses `optax.MultiSteps`
+(the reference flattens grads by hand with Flux.destructure,
+`scripts/main.jl:80-87`).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data import dataloader, num_samples
+from ..utils.logging import MetricsLogger, Timer
+from .checkpoint import save_checkpoint
+
+
+@dataclass
+class TrainConfig:
+    """Reference hyperparameter block (`scripts/main.jl:121-141`)."""
+
+    lr: float = 1e-4
+    batch_size: int = 4
+    accumulate: int = 8
+    epochs: int = 10
+    val_every: int = 20  # optimizer updates between validations
+    val_batches: int = 20
+    checkpoint_dir: str | None = None
+    metrics_path: str | None = None
+    seed: int = 0
+
+
+def make_optimizer(config: TrainConfig):
+    opt = optax.adam(config.lr)
+    if config.accumulate > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=config.accumulate)
+    return opt
+
+
+def make_train_step(loss_fn: Callable, opt) -> Callable:
+    """loss_fn(params, batch) -> scalar. Returns jitted
+    (params, opt_state, batch) -> (params, opt_state, loss)."""
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_eval_step(loss_fn: Callable) -> Callable:
+    return jax.jit(loss_fn)
+
+
+def validate(eval_step, params, val_data, batch_size: int, key, max_batches: int):
+    """Average loss over up to max_batches validation minibatches
+    (reference `validate!`, `scripts/main.jl:17-32`)."""
+    losses = []
+    for i, batch in enumerate(dataloader(val_data, batch_size, key)):
+        losses.append(float(eval_step(params, batch)))
+        if i + 1 >= max_batches:
+            break
+    return sum(losses) / max(1, len(losses))
+
+
+def train(
+    loss_fn: Callable,
+    params,
+    train_data: dict,
+    val_data: dict,
+    config: TrainConfig,
+    logger: MetricsLogger | None = None,
+    on_checkpoint: Callable | None = None,
+):
+    """Full training run (reference `train!`, `scripts/main.jl:52-119`).
+
+    Returns (params, opt_state, logger).
+    """
+    logger = logger or MetricsLogger(config.metrics_path)
+    timer = Timer()
+    opt = make_optimizer(config)
+    opt_state = opt.init(params)
+    step_fn = make_train_step(loss_fn, opt)
+    eval_fn = make_eval_step(loss_fn)
+
+    key = jax.random.PRNGKey(config.seed)
+    micro_step = 0
+    train_loss_acc = []
+
+    for epoch in range(config.epochs):
+        key, k_shuffle = jax.random.split(key)
+        for batch in dataloader(train_data, config.batch_size, k_shuffle):
+            with timer("train_step"):
+                params, opt_state, loss = step_fn(params, opt_state, batch)
+                loss = float(loss)
+            train_loss_acc.append(loss)
+            micro_step += 1
+
+            updates_done = micro_step // config.accumulate
+            if (
+                micro_step % (config.val_every * config.accumulate) == 0
+            ):
+                key, k_val = jax.random.split(key)
+                with timer("validate"):
+                    val_loss = validate(
+                        eval_fn, params, val_data, config.batch_size, k_val,
+                        config.val_batches,
+                    )
+                train_loss = sum(train_loss_acc) / len(train_loss_acc)
+                train_loss_acc = []
+                rec = logger.log(
+                    step=updates_done,
+                    epoch=epoch,
+                    train_loss=train_loss,
+                    val_loss=val_loss,
+                    step_time=timer.mean("train_step"),
+                )
+                print(
+                    f"Step: {updates_done}, Train Loss: {train_loss:.6g}, "
+                    f"Val Loss: {val_loss:.6g}"
+                )
+                if config.checkpoint_dir:
+                    path = f"{config.checkpoint_dir}/checkpoint_step={updates_done}"
+                    with timer("checkpoint"):
+                        save_checkpoint(path, params, opt_state, updates_done)
+                    if on_checkpoint is not None:
+                        on_checkpoint(path, params)
+
+    return params, opt_state, logger

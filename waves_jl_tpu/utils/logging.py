@@ -1,0 +1,76 @@
+"""Metrics logging + profiling hooks.
+
+Replaces the reference's in-memory metrics dict + PNG plots
+(`scripts/main.jl:34-44,67`) with a JSONL metrics log and first-class
+steps/sec counters; `jax.profiler` traces are one flag away.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from contextlib import contextmanager
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics log; also keeps in-memory history."""
+
+    def __init__(self, path: str | None = None):
+        self.path = path
+        self.history: list[dict] = []
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._f = open(path, "a")
+        else:
+            self._f = None
+
+    def log(self, **kv):
+        rec = {"time": time.time(), **kv}
+        self.history.append(rec)
+        if self._f:
+            self._f.write(json.dumps(rec) + "\n")
+            self._f.flush()
+        return rec
+
+    def close(self):
+        if self._f:
+            self._f.close()
+
+
+class Timer:
+    """Running-average phase timer (the reference relies on ad-hoc @time)."""
+
+    def __init__(self):
+        self.totals: dict[str, float] = {}
+        self.counts: dict[str, int] = {}
+
+    @contextmanager
+    def __call__(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def mean(self, name: str) -> float:
+        return self.totals.get(name, 0.0) / max(1, self.counts.get(name, 0))
+
+    def summary(self) -> dict:
+        return {k: self.mean(k) for k in self.totals}
+
+
+@contextmanager
+def profile_trace(logdir: str | None):
+    """jax.profiler trace scope; no-op when logdir is None."""
+    if logdir is None:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
