@@ -1,6 +1,7 @@
 """Canonical benchmark: FDTD integration throughput on the reference
 operating point (700x700 grid, 12 channels, triple-ring cloak, random-pos
-Gaussian source, RK4 @ dt=1e-5 — BASELINE.md).
+Gaussian source, RK4 @ dt=1e-5 — BASELINE.md), on the Pallas fused-RK4
+kernel path (the XLA stencil path is ~6x slower; see tests for parity).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is measured / north-star target (5000 steps/s per TPU core,
@@ -14,6 +15,7 @@ import jax.numpy as jnp
 
 import waves_jl_tpu as w
 from waves_jl_tpu.env import RandomDesignPolicy, env_reset, env_step, make_wave_env
+from waves_jl_tpu.physics.fused import make_env_step_fused
 
 N = 700
 STEPS = 100
@@ -42,24 +44,25 @@ def main():
     policy = RandomDesignPolicy(env.action_space)
     key = jax.random.PRNGKey(0)
     state = env_reset(env, key)
-    actions = jax.vmap(policy)(jax.random.split(jax.random.PRNGKey(1), WINDOWS))
+    actions = [policy(k) for k in jax.random.split(jax.random.PRNGKey(1), WINDOWS)]
 
-    @jax.jit
-    def episode(state, actions):
-        def body(st, a):
-            st2, _ = env_step(env, st, a)
-            return st2, st2.signal
+    fused_step = make_env_step_fused(env)
 
-        return jax.lax.scan(body, state, actions)
+    def episode(state):
+        sigs = []
+        for a in actions:
+            state, _ = fused_step(state, a)
+            sigs.append(state.signal)
+        return state, jnp.stack(sigs)
 
     # warmup/compile
-    final, sigs = episode(state, actions)
+    final, sigs = episode(state)
     jax.block_until_ready(sigs)
 
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        final, sigs = episode(state, actions)
+        final, sigs = episode(state)
         jax.block_until_ready(sigs)
     elapsed = (time.time() - t0) / reps
 

