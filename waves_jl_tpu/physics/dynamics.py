@@ -223,10 +223,17 @@ class AcousticDynamics1D:
 
         u_tot, v_tot, u_inc, v_inc = x[:, 0], x[:, 1], x[:, 2], x[:, 3]
 
-        du_tot = (self.c0 * c) * self._ddx(v_tot) - sigma * u_tot
-        dv_tot = (self.c0 * c) * self._ddx(u_tot + f) - sigma * v_tot
-        du_inc = self.c0 * self._ddx(v_inc) - sigma * u_inc
-        dv_inc = self.c0 * self._ddx(u_inc + f) - sigma * v_inc
+        # one fused (B*4, E) x (E, E) MXU contraction for all four fields
+        # (four separate (B, E) matmuls waste systolic-array rows)
+        stacked = jnp.stack([v_tot, u_tot + f, v_inc, u_inc + f], axis=1)
+        d = jnp.einsum(
+            "bfe,ke->bfk", stacked, self.grad, preferred_element_type=jnp.float32
+        )
+
+        du_tot = (self.c0 * c) * d[:, 0] - sigma * u_tot
+        dv_tot = (self.c0 * c) * d[:, 1] - sigma * v_tot
+        du_inc = self.c0 * d[:, 2] - sigma * u_inc
+        dv_inc = self.c0 * d[:, 3] - sigma * v_inc
 
         return jnp.stack(
             [du_tot * self.bc, dv_tot, du_inc * self.bc, dv_inc], axis=1
