@@ -1,0 +1,136 @@
+"""MPC evaluation workflow (reference `scripts/mpc.jl` + `scripts/test.jl`).
+
+Loads a trained surrogate checkpoint, runs MPC-controlled episodes vs
+random-policy episodes from identical (design, source) resets, reports the
+percentage decrease in scattered energy, and optionally renders videos.
+
+Usage:
+  python scripts_tpu/mpc.py --data data/run1 --checkpoint models/run1/checkpoint_step=N \
+      [--episodes 4 --horizon 5 --shots 256 --alpha 1.0 --actions 20 --render out.mp4 \
+       --controller random_shooting|gradient]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import waves_jl_tpu as w
+from waves_jl_tpu.control import GradientShooting, RandomShooting
+from waves_jl_tpu.env import (
+    RandomDesignPolicy,
+    env_reset,
+    env_step,
+    env_terminated,
+)
+from waves_jl_tpu.models import AcousticEnergyModel
+from waves_jl_tpu.train import load_checkpoint
+from datagen import build_env
+
+
+def run_episode(env, act_fn, state, key):
+    """Roll an episode from a fixed reset; act_fn(state, key) -> action.
+    Returns stacked signals (A, steps+1, 3)."""
+    step = jax.jit(lambda s, a: env_step(env, s, a))
+    signals = []
+    while not bool(env_terminated(env, state)):
+        key, k = jax.random.split(key)
+        state, _ = step(state, act_fn(state, k))
+        signals.append(np.asarray(state.signal))
+    return np.stack(signals)
+
+
+def scattered_tail_mean(signals):
+    """Mean scattered energy over the second half of the episode
+    (reference `scripts/test.jl:36-41`)."""
+    sc = signals[:, :, 2].reshape(-1)
+    return float(sc[len(sc) // 2 :].mean())
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--episodes", type=int, default=4)
+    p.add_argument("--horizon", type=int, default=5)
+    p.add_argument("--shots", type=int, default=256)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--actions", type=int, default=20)
+    p.add_argument("--n", type=int, default=700)
+    p.add_argument("--controller", choices=["random_shooting", "gradient"],
+                   default="random_shooting")
+    p.add_argument("--render", type=str, default=None)
+    p.add_argument("--h-size", type=int, default=256)
+    p.add_argument("--nfreq", type=int, default=500)
+    p.add_argument("--elements", type=int, default=1024)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    env = build_env(args.n, 100, args.actions)
+    model = AcousticEnergyModel.create(
+        design_space=w.build_triple_ring_design_space(), source_freq=1000.0,
+        elements=args.elements, h_size=args.h_size, nfreq=args.nfreq,
+        integration_steps=100,
+    )
+    dummy = env_reset(env, jax.random.PRNGKey(0))
+    from __graft_entry__ import _tiny_batch
+
+    params_like = model.init(
+        jax.random.PRNGKey(0), _tiny_batch(model, B=1, horizon=1, steps=100, res=128)
+    )
+    params, _, step_no = load_checkpoint(args.checkpoint, params_like)
+    print(f"loaded checkpoint step {step_no}")
+
+    if args.controller == "random_shooting":
+        mpc = RandomShooting(model=model, horizon=args.horizon, shots=args.shots,
+                             alpha=args.alpha)
+    else:
+        mpc = GradientShooting(model=model, horizon=args.horizon,
+                               shots=max(8, args.shots // 8), alpha=args.alpha)
+    mpc_jit = jax.jit(lambda pm, s, k: mpc(pm, env, s, k))
+    policy = RandomDesignPolicy(env.action_space)
+
+    decreases = []
+    for ep in range(args.episodes):
+        key = jax.random.PRNGKey(args.seed + ep)
+        reset_state = env_reset(env, key)
+
+        mpc_sig = run_episode(
+            env, lambda s, k: mpc_jit(params, s, k)[0], reset_state, key
+        )
+        rnd_sig = run_episode(env, lambda s, k: policy(k), reset_state, key)
+
+        m, r = scattered_tail_mean(mpc_sig), scattered_tail_mean(rnd_sig)
+        dec = (r - m) / r if r > 0 else 0.0
+        decreases.append(dec)
+        print(f"episode {ep + 1}: mpc={m:.4g} random={r:.4g} decrease={dec:.1%}",
+              flush=True)
+
+    result = {
+        "percentage_decrease": decreases,
+        "mean_decrease": float(np.mean(decreases)),
+        "controller": args.controller,
+    }
+    print(json.dumps(result))
+    with open("mpc_results.json", "w") as f:
+        json.dump(result, f)
+
+    if args.render:
+        from waves_jl_tpu.viz.episode import render_episode
+
+        key = jax.random.PRNGKey(args.seed)
+        render_episode(
+            env, lambda k: mpc_jit(params, env_reset(env, key), k)[0], key,
+            args.render, field="sc", bound=0.2, energy=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Horizon-sweep prediction error (reference `scripts/prediction.jl` +
+`scripts/error_plot.jl`): per-horizon MSE of the scattered-energy
+prediction for trained surrogates, with a smoothed comparison plot.
+
+Usage:
+  python scripts_tpu/prediction.py --data data/run1 \
+      --acoustic models/a/checkpoint_step=N [--node ... --pinn ...] \
+      [--horizons 2 4 8 ... --episodes 30 --out error_plot.png]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+import waves_jl_tpu as w
+from waves_jl_tpu.data import concat_datasets, dataloader, load_episode, prepare_data
+from waves_jl_tpu.models import AcousticEnergyModel, NODEEnergyModel, WaveControlPINN
+from waves_jl_tpu.train import load_checkpoint
+from train import load_dataset
+
+
+def sweep(model, params, eps, horizons, batch: int, batches: int, scalar_out: bool):
+    errors = {}
+    for h in horizons:
+        data = concat_datasets([prepare_data(ep, h) for ep in eps])
+        fwd = jax.jit(lambda p, b: model(p, b))
+        errs = []
+        for i, b in enumerate(dataloader(data, batch, jax.random.PRNGKey(0))):
+            pred = np.asarray(fwd(params, b))
+            y_sc = np.asarray(b["y"][:, :, 2])
+            p_sc = pred if scalar_out else pred[:, :, 2]
+            errs.extend(((p_sc - y_sc) ** 2).mean(axis=1).tolist())
+            if i + 1 >= batches:
+                break
+        errors[h] = errs
+        print(f"horizon {h}: mse {np.mean(errs):.5g}", flush=True)
+    return errors
+
+
+def rolling_mean(x, k=3):
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) < k:
+        return x
+    return np.convolve(x, np.ones(k) / k, mode="same")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True)
+    p.add_argument("--acoustic", default=None)
+    p.add_argument("--node", default=None)
+    p.add_argument("--pinn", default=None)
+    p.add_argument("--episodes", type=int, default=30)
+    p.add_argument("--horizons", type=int, nargs="+", default=[2, 4, 6, 8, 10, 15, 20])
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--batches", type=int, default=8)
+    p.add_argument("--out", default="error_plot.png")
+    p.add_argument("--h-size", type=int, default=256)
+    p.add_argument("--nfreq", type=int, default=500)
+    p.add_argument("--elements", type=int, default=1024)
+    args = p.parse_args()
+
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(args.data, "episodes", "episode*.npz")))
+    eps = [load_episode(pth) for pth in paths[-args.episodes :]]
+    space = w.build_triple_ring_design_space()
+    kw = dict(elements=args.elements, h_size=args.h_size, nfreq=args.nfreq,
+              integration_steps=100)
+
+    from __graft_entry__ import _tiny_batch
+
+    results = {}
+    specs = [
+        ("acoustic", args.acoustic,
+         lambda: AcousticEnergyModel.create(design_space=space, source_freq=1000.0, **kw),
+         False),
+        ("node", args.node,
+         lambda: NODEEnergyModel.create(design_space=space, **kw), True),
+        ("pinn", args.pinn,
+         lambda: WaveControlPINN.create(design_space=space, source_freq=1000.0, **kw),
+         False),
+    ]
+    for name, ckpt, make, scalar_out in specs:
+        if ckpt is None:
+            continue
+        model = make()
+        like = model.init(jax.random.PRNGKey(0),
+                          _tiny_batch(model, B=1, horizon=1, steps=100, res=128))
+        params, _, _ = load_checkpoint(ckpt, like)
+        results[name] = sweep(model, params, eps, args.horizons, args.batch,
+                              args.batches, scalar_out)
+
+    with open("prediction_errors.json", "w") as f:
+        json.dump({k: {str(h): v for h, v in r.items()} for k, r in results.items()}, f)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    colors = {"acoustic": "green", "node": "red", "pinn": "purple"}
+    labels = {"acoustic": "Ours (PML)", "node": "NeuralODE", "pinn": "PINC"}
+    for name, errs in results.items():
+        hs = sorted(errs)
+        means = [float(np.mean(errs[h])) for h in hs]
+        ax.plot(hs, rolling_mean(means), color=colors[name], label=labels[name])
+        ax.scatter(hs, means, color=colors[name], s=12)
+    ax.set_xlabel("Prediction horizon (actions)")
+    ax.set_ylabel("Scattered-energy MSE")
+    ax.legend()
+    fig.savefig(args.out, dpi=120)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
