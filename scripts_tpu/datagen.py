@@ -52,6 +52,8 @@ def main():
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--actions", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--format", choices=["wbin", "npz"], default="wbin",
+                   help="wbin = native mmap store (falls back to npz without g++)")
     args = p.parse_args()
 
     os.makedirs(os.path.join(args.out, "episodes"), exist_ok=True)
@@ -76,7 +78,9 @@ def main():
         t0 = time.time()
         _, ep = generate_episode(env, policy, k)
         jax.block_until_ready(ep.y)
-        save_episode(ep, os.path.join(args.out, "episodes", f"episode{i + 1}.npz"))
+        save_episode(
+            ep, os.path.join(args.out, "episodes", f"episode{i + 1}.{args.format}")
+        )
         print(f"episode {i + 1}/{args.episodes} in {time.time() - t0:.2f}s", flush=True)
 
 

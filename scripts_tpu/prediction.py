@@ -69,7 +69,10 @@ def main():
 
     import glob
 
-    paths = sorted(glob.glob(os.path.join(args.data, "episodes", "episode*.npz")))
+    paths = sorted(
+        glob.glob(os.path.join(args.data, "episodes", "episode*.npz"))
+        + glob.glob(os.path.join(args.data, "episodes", "episode*.wbin"))
+    )
     eps = [load_episode(pth) for pth in paths[-args.episodes :]]
     space = w.build_triple_ring_design_space()
     kw = dict(elements=args.elements, h_size=args.h_size, nfreq=args.nfreq,

@@ -35,7 +35,8 @@ from waves_jl_tpu.utils.logging import MetricsLogger
 
 def load_dataset(data_dir: str, episodes: int, horizon: int, train_val_split: float = 0.9):
     paths = sorted(
-        glob.glob(os.path.join(data_dir, "episodes", "episode*.npz")),
+        glob.glob(os.path.join(data_dir, "episodes", "episode*.npz"))
+        + glob.glob(os.path.join(data_dir, "episodes", "episode*.wbin")),
         key=lambda p: int("".join(c for c in os.path.basename(p) if c.isdigit())),
     )[:episodes]
     assert paths, f"no episodes under {data_dir}"

@@ -136,6 +136,15 @@ def _flatten_named(tree):
 
 
 def save_episode(episode: Episode, path: str):
+    """Save an episode. `.wbin` uses the native mmap'd binary store
+    (native/episode_store.cpp, ~10x faster than compressed npz); any other
+    extension uses npz."""
+    if path.endswith(".wbin"):
+        from .native import save_bundle
+
+        if save_bundle(path, _flatten_named(episode)):
+            return
+        path = path[: -len(".wbin")] + ".npz"  # toolchain-less fallback
     np.savez_compressed(path, **_flatten_named(episode))
 
 
@@ -144,7 +153,14 @@ def load_episode(path: str, like: Episode | None = None) -> Episode:
     template `like` when the design/action pytree types cannot be inferred;
     episodes produced by this framework's standard Cloak envs load without
     one."""
-    data = np.load(path)
+    if path.endswith(".wbin"):
+        from .native import load_bundle
+
+        data = load_bundle(path)
+        if data is None:
+            raise IOError("native episode store unavailable (no g++?)")
+    else:
+        data = np.load(path)
     if like is None:
         from .designs import AdjustableRadiiScatterers, Cloak, Cylinders
 

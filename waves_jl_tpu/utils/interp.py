@@ -74,6 +74,30 @@ class LinearInterpolation:
         return linear_interp(self.X, self.Y, t)
 
 
+@_register
+@dataclass(frozen=True)
+class PolynomialInterpolation:
+    """Lagrange-style polynomial interpolation over sequence knots
+    (reference `src/utils.jl:43-67`; unused in the reference's main path but
+    part of its public surface). X: (B, K) knots, Y: (B, K, E)."""
+
+    X: jax.Array
+    Y: jax.Array
+
+    def __call__(self, t: jax.Array) -> jax.Array:
+        X, Y = self.X, self.Y
+        K = X.shape[1]
+        eye = jnp.eye(K, dtype=Y.dtype)
+        scale = jnp.max(jnp.abs(X), axis=1)[:, None, None]  # (B,1,1)
+        # numerator: prod over j != k of (X_j - t)
+        n = eye[None] + (1.0 - eye)[None] * (X[:, :, None] - t[:, None, None])
+        numer = jnp.prod(n / scale + 1e-5, axis=1)  # (B, K)
+        d = (X[:, None, :] - X[:, :, None]) + eye[None]
+        denom = jnp.prod(d / scale + 1e-5, axis=1)  # (B, K)
+        coef = numer / denom
+        return jnp.einsum("bk,bke->be", coef, Y)
+
+
 def evaluate_over_time(f, t: jax.Array) -> jax.Array:
     """Evaluate a batched time-callable over a full (B, T) time grid.
 

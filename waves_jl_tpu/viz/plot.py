@@ -161,6 +161,78 @@ def render_line_video(x, ys, path: str, ylim=(-2.0, 2.0), fps: int = FRAMES_PER_
     plt.close(fig)
 
 
+def plot_latent_source(model, params, batch, path: str):
+    """Heatmap of one period of the latent force function + its shape
+    (reference `plot_latent_source`, `src/plot.jl:91-111`)."""
+    import jax.numpy as jnp
+
+    plt = _plt()
+    _, (C, F, PML) = model.get_parameters_and_initial_condition(params, batch)
+    dt = model.integrator.dt
+    period = np.arange(0.0, 0.5 / model.source_freq + dt, dt, dtype=np.float32)
+    f = np.stack([np.asarray(F(jnp.full((1,), t))[0]) for t in period], axis=0)
+    latent_x = np.asarray(model.latent_dim.x)
+
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(7, 7))
+    hm = ax1.imshow(
+        f.T, aspect="auto", origin="lower", cmap="cividis",
+        extent=(period[0], period[-1], latent_x[0], latent_x[-1]),
+    )
+    ax1.set_title("One Period of Force Function")
+    ax1.set_xlabel("Time (s)")
+    ax1.set_ylabel("Space (m)")
+    fig.colorbar(hm, ax=ax1)
+    ax2.plot(latent_x, f[len(f) // 2])
+    ax2.set_title("Shape of Force Function")
+    ax2.set_xlabel("Space (m)")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def make_plots_node(model, params, batch, path: str, samples: int = 1):
+    """Checkpoint dashboard for the NODE baseline (reference `make_plots`,
+    `src/model/node.jl:71-82`): scattered-energy prediction plots."""
+    os.makedirs(path, exist_ok=True)
+    y_hat = np.asarray(model(params, batch))  # (B, L)
+    y = np.asarray(batch["y"])
+    t = np.asarray(batch["t"])
+    for i in range(min(y.shape[0], samples)):
+        plot_predicted_energy(
+            t[i], y[i, :, 2], y_hat[i], title="Scattered Energy",
+            path=os.path.join(path, f"sc{i + 1}.png"),
+        )
+
+
+def make_plots_pinn(model, params, batch, path: str, samples: int = 1):
+    """Checkpoint dashboard for the PINN baseline (reference `make_plots`,
+    `src/model/pinn.jl:326-370`): latent video, learned pml/force,
+    predicted-vs-true energies."""
+    os.makedirs(path, exist_ok=True)
+    sol = np.asarray(model.generate_latent_solution(params, batch))  # (B,L,4,E)
+    latent_x = np.asarray(model.latent_dim.x)
+    render_latent_solution(latent_x, sol[0], path)
+
+    z0, f, pml, C = model.encode(params, batch)
+    plt = _plt()
+    for name, field in [("pml", pml), ("force", f)]:
+        fig, ax = plt.subplots()
+        ax.plot(latent_x, np.asarray(field[0]))
+        fig.savefig(os.path.join(path, f"{name}.png"), dpi=120)
+        plt.close(fig)
+
+    y_hat = np.asarray(model(params, batch))
+    y = np.asarray(batch["y"])
+    t = np.asarray(batch["t"])
+    for i in range(min(y.shape[0], samples)):
+        for ch, name in [(0, "tot"), (1, "inc"), (2, "sc")]:
+            plot_predicted_energy(
+                t[i], y[i, :, ch], y_hat[i, :, ch],
+                title={0: "Total", 1: "Incident", 2: "Scattered"}[ch] + " Energy",
+                path=os.path.join(path, f"{name}{i + 1}.png"),
+            )
+
+
 def make_plots_acoustic(model, params, batch, path: str, samples: int = 1):
     """Checkpoint dashboard for the flagship model (reference `make_plots`,
     `src/model/acoustic_energy_model.jl:165-197`): latent video, learned
