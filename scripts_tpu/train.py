@@ -90,6 +90,8 @@ def main():
     p.add_argument("--pml-scale", type=float, default=10000.0)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel over all devices via shard_map")
     args = p.parse_args()
 
     train_data, val_data = load_dataset(args.data, args.episodes, args.horizon)
@@ -115,7 +117,14 @@ def main():
             except Exception as e:  # plots must never kill training
                 print(f"plotting failed: {e}")
 
-    train(loss_fn, params, train_data, val_data, config, on_checkpoint=on_checkpoint)
+    mesh = None
+    if args.dp:
+        from waves_jl_tpu.parallel import make_mesh
+
+        mesh = make_mesh(axis_name="data")
+        print(f"data-parallel over {mesh.devices.size} devices")
+    train(loss_fn, params, train_data, val_data, config,
+          on_checkpoint=on_checkpoint, mesh=mesh)
 
 
 if __name__ == "__main__":

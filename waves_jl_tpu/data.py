@@ -72,6 +72,28 @@ def generate_episode(env: WaveEnv, policy, key: jax.Array, reset: bool = True, s
     return _episode_scan(env, state, actions)
 
 
+def generate_episodes_batch(env: WaveEnv, policy, key: jax.Array, batch: int):
+    """vmap-batched episode generation: `batch` independent episodes
+    (random designs/sources/actions) in one device program. Returns an
+    Episode pytree with an extra leading batch axis on every leaf."""
+    k_reset, k_actions = jax.random.split(key)
+    states = jax.vmap(lambda k: env_reset(env, k))(jax.random.split(k_reset, batch))
+    akeys = jax.random.split(k_actions, batch * env.actions).reshape(
+        batch, env.actions, 2
+    )
+    actions = jax.vmap(jax.vmap(policy))(akeys)
+    return jax.vmap(lambda s, a: _episode_scan(env, s, a), in_axes=(0, 0))(
+        states, actions
+    )
+
+
+def split_episode_batch(batched) -> list:
+    """Split a batched (final_state, Episode) into a list of Episodes."""
+    _, eps = batched
+    n = eps.s_wave.shape[0]
+    return [tree_index(eps, i) for i in range(n)]
+
+
 def prepare_data(episode: Episode, horizon: int):
     """Sliding-window horizon batching (reference `prepare_data`,
     `src/data.jl:35-58`).

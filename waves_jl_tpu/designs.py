@@ -240,6 +240,24 @@ class DesignInterpolator:
         return jax.tree_util.tree_map(lambda a, b: a + w * (b - a), self.initial, self.final)
 
 
+def multi_design_interpolation(interps: list, t):
+    """Dispatch t to the matching interpolator among consecutive window
+    interpolators and evaluate (reference `multi_design_interpolation`,
+    `src/designs.jl:294-301`). Host-side helper for rendering."""
+    import numpy as np
+
+    tf = float(t)
+    for interp in interps:
+        if float(interp.ti) <= tf <= float(interp.tf):
+            return interp(t)
+    # out of range: clamp to nearest window like the reference's findmax
+    best = min(
+        interps,
+        key=lambda it: min(abs(tf - float(it.ti)), abs(tf - float(it.tf))),
+    )
+    return best(t)
+
+
 @register_pytree_dataclass
 @dataclass(frozen=True)
 class SpeedField:

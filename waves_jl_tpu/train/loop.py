@@ -80,16 +80,28 @@ def train(
     config: TrainConfig,
     logger: MetricsLogger | None = None,
     on_checkpoint: Callable | None = None,
+    mesh=None,
 ):
     """Full training run (reference `train!`, `scripts/main.jl:52-119`).
 
-    Returns (params, opt_state, logger).
+    Pass `mesh` (a 1D jax.sharding.Mesh over axis "data") to run the train
+    step data-parallel via shard_map; batch_size must then be a multiple of
+    the mesh size. Returns (params, opt_state, logger).
     """
     logger = logger or MetricsLogger(config.metrics_path)
     timer = Timer()
     opt = make_optimizer(config)
     opt_state = opt.init(params)
-    step_fn = make_train_step(loss_fn, opt)
+    if mesh is not None:
+        from ..parallel import make_dp_train_step, shard_batch
+
+        assert config.batch_size % mesh.devices.size == 0, (
+            "batch_size must be divisible by the mesh size"
+        )
+        dp_step = make_dp_train_step(loss_fn, opt, mesh, axis_name="data")
+        step_fn = lambda p, o, b: dp_step(p, o, shard_batch(b, mesh, "data"))
+    else:
+        step_fn = make_train_step(loss_fn, opt)
     eval_fn = make_eval_step(loss_fn)
 
     key = jax.random.PRNGKey(config.seed)
