@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 import waves_jl_tpu as w
-from waves_jl_tpu.data import generate_episode, save_episode
+from waves_jl_tpu.data import generate_episode, generate_episode_fused, save_episode
 from waves_jl_tpu.env import RandomDesignPolicy, make_wave_env
 
 
@@ -54,6 +54,8 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--format", choices=["wbin", "npz"], default="wbin",
                    help="wbin = native mmap store (falls back to npz without g++)")
+    p.add_argument("--no-fused", action="store_true",
+                   help="use the XLA stencil path instead of the Pallas kernel")
     args = p.parse_args()
 
     os.makedirs(os.path.join(args.out, "episodes"), exist_ok=True)
@@ -72,11 +74,20 @@ def main():
             f,
         )
 
+    fused_step = None
+    if not args.no_fused:
+        from waves_jl_tpu.physics.fused import make_env_step_fused
+
+        fused_step = make_env_step_fused(env)
+
     key = jax.random.PRNGKey(args.seed)
     for i in range(args.episodes):
         key, k = jax.random.split(key)
         t0 = time.time()
-        _, ep = generate_episode(env, policy, k)
+        if fused_step is not None:
+            _, ep = generate_episode_fused(env, policy, k, fused_step)
+        else:
+            _, ep = generate_episode(env, policy, k)
         jax.block_until_ready(ep.y)
         save_episode(
             ep, os.path.join(args.out, "episodes", f"episode{i + 1}.{args.format}")

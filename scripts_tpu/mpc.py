@@ -35,10 +35,11 @@ from waves_jl_tpu.train import load_checkpoint
 from datagen import build_env
 
 
-def run_episode(env, act_fn, state, key):
+def run_episode(env, act_fn, state, key, step=None):
     """Roll an episode from a fixed reset; act_fn(state, key) -> action.
     Returns stacked signals (A, steps+1, 3)."""
-    step = jax.jit(lambda s, a: env_step(env, s, a))
+    if step is None:
+        step = jax.jit(lambda s, a: env_step(env, s, a))
     signals = []
     while not bool(env_terminated(env, state)):
         key, k = jax.random.split(key)
@@ -96,6 +97,9 @@ def main():
                                shots=max(8, args.shots // 8), alpha=args.alpha)
     mpc_jit = jax.jit(lambda pm, s, k: mpc(pm, env, s, k))
     policy = RandomDesignPolicy(env.action_space)
+    from waves_jl_tpu.physics.fused import make_env_step_fused
+
+    fused_step = make_env_step_fused(env)
 
     decreases = []
     for ep in range(args.episodes):
@@ -103,9 +107,11 @@ def main():
         reset_state = env_reset(env, key)
 
         mpc_sig = run_episode(
-            env, lambda s, k: mpc_jit(params, s, k)[0], reset_state, key
+            env, lambda s, k: mpc_jit(params, s, k)[0], reset_state, key,
+            step=fused_step,
         )
-        rnd_sig = run_episode(env, lambda s, k: policy(k), reset_state, key)
+        rnd_sig = run_episode(env, lambda s, k: policy(k), reset_state, key,
+                              step=fused_step)
 
         m, r = scattered_tail_mean(mpc_sig), scattered_tail_mean(rnd_sig)
         dec = (r - m) / r if r > 0 else 0.0
