@@ -92,7 +92,8 @@ class PolynomialInterpolation:
         # numerator: prod over j != k of (X_j - t)
         n = eye[None] + (1.0 - eye)[None] * (X[:, :, None] - t[:, None, None])
         numer = jnp.prod(n / scale + 1e-5, axis=1)  # (B, K)
-        d = (X[:, None, :] - X[:, :, None]) + eye[None]
+        # d[b, j, k] = X[j] - X[k] (prod over j of (X_j - t)/(X_j - X_k))
+        d = (X[:, :, None] - X[:, None, :]) + eye[None]
         denom = jnp.prod(d / scale + 1e-5, axis=1)  # (B, K)
         coef = numer / denom
         return jnp.einsum("bk,bke->be", coef, Y)
