@@ -14,6 +14,9 @@ import jax
 import jax.numpy as jnp
 
 import waves_jl_tpu as w
+from waves_jl_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 from waves_jl_tpu.env import RandomDesignPolicy, env_reset, env_step, make_wave_env
 from waves_jl_tpu.physics.fused import make_env_step_fused
 

@@ -18,6 +18,9 @@ import jax.numpy as jnp
 import optax
 
 import waves_jl_tpu as w
+from waves_jl_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 from waves_jl_tpu.models import embed_sin, sin_basis
 
 

@@ -20,6 +20,9 @@ import jax
 import jax.numpy as jnp
 
 import waves_jl_tpu as w
+from waves_jl_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 from waves_jl_tpu.data import generate_episode, generate_episode_fused, save_episode
 from waves_jl_tpu.env import RandomDesignPolicy, make_wave_env
 

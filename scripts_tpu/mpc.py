@@ -23,6 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 import waves_jl_tpu as w
+from waves_jl_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 from waves_jl_tpu.control import GradientShooting, RandomShooting
 from waves_jl_tpu.env import (
     RandomDesignPolicy,
@@ -41,10 +44,14 @@ def run_episode(env, act_fn, state, key, step=None):
     if step is None:
         step = jax.jit(lambda s, a: env_step(env, s, a))
     signals = []
+    import time as _time
+
     while not bool(env_terminated(env, state)):
+        t0 = _time.time()
         key, k = jax.random.split(key)
         state, _ = step(state, act_fn(state, k))
         signals.append(np.asarray(state.signal))
+        print(f"  t={int(state.time_step)} ({_time.time() - t0:.2f}s)", flush=True)
     return np.stack(signals)
 
 

@@ -16,6 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 import waves_jl_tpu as w
+from waves_jl_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 from waves_jl_tpu.viz import render_video
 
 

@@ -20,6 +20,9 @@ import jax
 import numpy as np
 
 import waves_jl_tpu as w
+from waves_jl_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 from waves_jl_tpu.data import concat_datasets, dataloader, load_episode, prepare_data
 from waves_jl_tpu.models import AcousticEnergyModel, NODEEnergyModel, WaveControlPINN
 from waves_jl_tpu.train import load_checkpoint
