@@ -87,6 +87,29 @@ def _draw_design(ax, design):
         ax.add_patch(Circle((x, y), r, color="gray"))
 
 
+
+def _save_animation(anim, fig, path, fps, draw, n_frames):
+    """ffmpeg mp4 -> Pillow gif -> PNG-frame directory fallback chain."""
+    try:
+        anim.save(path, fps=fps, writer="ffmpeg")
+        return path
+    except Exception:
+        pass
+    try:
+        gif = os.path.splitext(path)[0] + ".gif"
+        anim.save(gif, fps=min(fps, 12), writer="pillow")
+        return gif
+    except Exception:
+        pass
+    base, _ = os.path.splitext(path)
+    os.makedirs(base, exist_ok=True)
+    step = max(1, n_frames // 60)
+    for i in range(0, n_frames, step):
+        draw(i)
+        fig.savefig(f"{base}/frame_{i:04d}.png", dpi=100)
+    return base
+
+
 def render_video(
     frames,
     extent,
@@ -113,15 +136,9 @@ def render_video(
         return []
 
     anim = animation.FuncAnimation(fig, draw, frames=len(frames), blit=False)
-    try:
-        anim.save(path, fps=fps, writer="ffmpeg")
-    except Exception:
-        base, _ = os.path.splitext(path)
-        os.makedirs(base, exist_ok=True)
-        for i in range(len(frames)):
-            draw(i)
-            fig.savefig(f"{base}/frame_{i:04d}.png", dpi=100)
+    out = _save_animation(anim, fig, path, fps, draw, len(frames))
     plt.close(fig)
+    return out
 
 
 def render_latent_solution(latent_x, z, path_dir: str):
@@ -149,16 +166,9 @@ def render_line_video(x, ys, path: str, ylim=(-2.0, 2.0), fps: int = FRAMES_PER_
         return []
 
     anim = animation.FuncAnimation(fig, draw, frames=len(ys), blit=False)
-    try:
-        anim.save(path, fps=fps, writer="ffmpeg")
-    except Exception:
-        base, _ = os.path.splitext(path)
-        os.makedirs(base, exist_ok=True)
-        step = max(1, len(ys) // 20)
-        for i in range(0, len(ys), step):
-            draw(i)
-            fig.savefig(f"{base}/frame_{i:04d}.png", dpi=100)
+    out = _save_animation(anim, fig, path, fps, draw, len(ys))
     plt.close(fig)
+    return out
 
 
 def plot_latent_source(model, params, batch, path: str):
