@@ -12,7 +12,7 @@ from waves_jl_tpu.ops.pallas_fd import pad_state, unpad_state, padded_dims, GHOS
 from waves_jl_tpu.physics.fused import cyl_params, design_cylinders, make_env_step_fused
 
 
-def _env(n=96, steps=20, actions=2):
+def _env(n=144, steps=20, actions=2):
     dim = w.two_dim(15.0, n)
     grid = w.build_grid(dim)
     source = w.GaussianSource.create(

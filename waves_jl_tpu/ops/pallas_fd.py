@@ -96,6 +96,7 @@ def make_fused_acoustic_step(
     x_min: float,
     tile_interior: int = 48,
     interpret: bool = False,
+    steps_per_call: int = 1,
 ):
     """Build the fused RK4 step.
 
@@ -114,9 +115,11 @@ def make_fused_acoustic_step(
     rows = tile_interior + 2 * GHOST  # DMA'd rows per tile
     inv2d = 1.0 / (2.0 * spacing)
     fdt = float(dt)  # python float: jnp constants captured by kernels are rejected
+    assert 1 <= steps_per_call <= GHOST // HALO, steps_per_call
 
     def kernel(scalars, cyl, u_hbm, shape_ref, profx_ref, profy_ref,
-               out_hbm, e_ref, u_scr, o_scr, sem_in, sem_out):
+               out_hbm, e_ref, u_scr, o_scr, csum_scr, inside_scr,
+               sem_in, sem_out):
         i = pl.program_id(0)
         row0 = i * tile_interior  # padded-row offset of this tile's DMA
 
@@ -149,20 +152,36 @@ def make_fused_acoustic_step(
             (gx_row > 0) & (gx_row < n - 1) & (gy_col > 0) & (gy_col < n - 1)
         ).astype(jnp.float32)
 
-        def rasterize(w):
-            """Lerped-cylinder wavespeed field at lerp weight w."""
-            csum = jnp.zeros((rows, py), jnp.float32)
-            inside = jnp.zeros((rows, py), jnp.float32)
+        # conservative per-cylinder tile-intersection tests (scalar): the
+        # cloak occupies a few tiles of the domain, so most tiles skip the
+        # full-tile rasterization arithmetic entirely (VPU-bound kernel).
+        x_t0 = x_min + (row0 - GHOST) * spacing
+        x_t1 = x_t0 + (rows - 1) * spacing
+        intersects = []
+        for j in range(n_cyl):
+            r_max = jnp.maximum(cyl[2, j], cyl[6, j])
+            xj_lo = jnp.minimum(cyl[0, j], cyl[4, j]) - r_max
+            xj_hi = jnp.maximum(cyl[0, j], cyl[4, j]) + r_max
+            intersects.append((xj_hi >= x_t0) & (xj_lo <= x_t1))
+
+        def rasterize(w, csum_ref, inside_ref):
+            """Lerped-cylinder wavespeed field at lerp weight w; accumulates
+            in VMEM scratch so non-intersecting cylinders are skipped via
+            predicated execution."""
+            csum_ref[:, :] = jnp.zeros((rows, py), jnp.float32)
+            inside_ref[:, :] = jnp.zeros((rows, py), jnp.float32)
             for j in range(n_cyl):
-                pxj = cyl[0, j] + w * (cyl[4, j] - cyl[0, j])
-                pyj = cyl[1, j] + w * (cyl[5, j] - cyl[1, j])
-                rj = cyl[2, j] + w * (cyl[6, j] - cyl[2, j])
-                cj = cyl[3, j] + w * (cyl[7, j] - cyl[3, j])
-                d2 = (x_coord - pxj) ** 2 + (y_coord - pyj) ** 2
-                m = (d2 < rj * rj).astype(jnp.float32)
-                csum = csum + m * cj
-                inside = inside + m
-            return jnp.where(inside == 0.0, jnp.float32(c0), csum)
+                @pl.when(intersects[j])
+                def _():
+                    pxj = cyl[0, j] + w * (cyl[4, j] - cyl[0, j])
+                    pyj = cyl[1, j] + w * (cyl[5, j] - cyl[1, j])
+                    rj = cyl[2, j] + w * (cyl[6, j] - cyl[2, j])
+                    cj = cyl[3, j] + w * (cyl[7, j] - cyl[3, j])
+                    d2 = (x_coord - pxj) ** 2 + (y_coord - pyj) ** 2
+                    m = (d2 < rj * rj).astype(jnp.float32)
+                    csum_ref[:, :] = csum_ref[:, :] + m * cj
+                    inside_ref[:, :] = inside_ref[:, :] + m
+            return jnp.where(inside_ref[:, :] == 0.0, jnp.float32(c0), csum_ref[:, :])
 
         def stack_rhs(U, Vx, Vy, Px, Py, Om, b, f):
             Vxx = _dx_edge_aware(Vx, gx_row, n, inv2d)
@@ -178,9 +197,9 @@ def make_fused_acoustic_step(
             dOm = sx * sy * U
             return [bc * dU, dVx, dVy, dPx, dPy, dOm]
 
-        def rhs(u, ts):
+        def rhs(u, ts, csum_ref, inside_ref):
             w = (jnp.clip(ts, ti, tf) - ti) / denom
-            c = rasterize(w)
+            c = rasterize(w, csum_ref, inside_ref)
             f = f_shape * jnp.sin(2.0 * jnp.pi * ts * jnp.float32(freq))
             d_tot = stack_rhs(u[0], u[1], u[2], u[3], u[4], u[5], c * c, f)
             d_inc = stack_rhs(
@@ -190,31 +209,37 @@ def make_fused_acoustic_step(
             return d_tot + d_inc
 
         cp_in.wait()
-        u0 = [u_scr[ch] for ch in range(12)]
+        u = [u_scr[ch] for ch in range(12)]
 
-        k1 = rhs(u0, t)
-        k2 = rhs([a + (0.5 * fdt) * b_ for a, b_ in zip(u0, k1)], t + 0.5 * fdt)
-        k3 = rhs([a + (0.5 * fdt) * b_ for a, b_ in zip(u0, k2)], t + 0.5 * fdt)
-        k4 = rhs([a + fdt * b_ for a, b_ in zip(u0, k3)], t + fdt)
-
-        sixth = fdt / 6.0
-        u_new = [
-            (a + sixth * (x1 + 2.0 * x2 + 2.0 * x3 + x4)) * fvalid
-            for a, x1, x2, x3, x4 in zip(u0, k1, k2, k3, k4)
-        ]
-
-        # energy partials over this tile's OWNED interior rows; use select
-        # (where), not multiply: ghost rows of the input buffer are never
-        # written and may hold NaN (NaN * 0 == NaN would poison the sum)
         owned = valid & (l_row >= GHOST) & (l_row < GHOST + tile_interior)
-        zero = jnp.zeros_like(u_new[0])
-        u_tot = jnp.where(owned, u_new[0], zero)
-        u_inc = jnp.where(owned, u_new[6], zero)
-        e_ref[i, 0] = jnp.sum(u_tot * u_tot)
-        e_ref[i, 1] = jnp.sum(u_inc * u_inc)
-        sc = u_tot - u_inc
-        e_ref[i, 2] = jnp.sum(sc * sc)
-        e_ref[i, 3] = 0.0
+        sixth = fdt / 6.0
+        for st in range(steps_per_call):
+            ts0 = t + st * fdt
+            k1 = rhs(u, ts0, csum_scr, inside_scr)
+            k2 = rhs([a + (0.5 * fdt) * b_ for a, b_ in zip(u, k1)],
+                     ts0 + 0.5 * fdt, csum_scr, inside_scr)
+            k3 = rhs([a + (0.5 * fdt) * b_ for a, b_ in zip(u, k2)],
+                     ts0 + 0.5 * fdt, csum_scr, inside_scr)
+            k4 = rhs([a + fdt * b_ for a, b_ in zip(u, k3)],
+                     ts0 + fdt, csum_scr, inside_scr)
+            u = [
+                a + sixth * (x1 + 2.0 * x2 + 2.0 * x3 + x4)
+                for a, x1, x2, x3, x4 in zip(u, k1, k2, k3, k4)
+            ]
+            # per-sub-step energy partials over this tile's OWNED interior
+            # rows; use select (where), not multiply: ghost rows of the
+            # input buffer are never written and may hold NaN
+            # (NaN * 0 == NaN would poison the sum)
+            zero = jnp.zeros_like(u[0])
+            u_tot = jnp.where(owned, u[0], zero)
+            u_inc = jnp.where(owned, u[6], zero)
+            e_ref[i, 4 * st + 0] = jnp.sum(u_tot * u_tot)
+            e_ref[i, 4 * st + 1] = jnp.sum(u_inc * u_inc)
+            sc = u_tot - u_inc
+            e_ref[i, 4 * st + 2] = jnp.sum(sc * sc)
+            e_ref[i, 4 * st + 3] = 0.0
+
+        u_new = [x * fvalid for x in u]
 
         for ch in range(12):
             o_scr[ch] = u_new[ch]
@@ -237,11 +262,16 @@ def make_fused_acoustic_step(
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # u_out
-            pl.BlockSpec((n_tiles, 4), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (n_tiles, 4 * steps_per_call), lambda i, *_: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
         ],
         scratch_shapes=[
             pltpu.VMEM((12, rows, py), jnp.float32),
             pltpu.VMEM((12, rows, py), jnp.float32),
+            pltpu.VMEM((rows, py), jnp.float32),  # rasterize csum
+            pltpu.VMEM((rows, py), jnp.float32),  # rasterize inside
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -252,7 +282,7 @@ def make_fused_acoustic_step(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((12, px, py), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 4), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 4 * steps_per_call), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -261,7 +291,9 @@ def make_fused_acoustic_step(
     )
 
     def step(u_pad, shape_pad, prof_x, prof_y, scalars, cyl):
+        """Advance steps_per_call steps; energies (steps_per_call, 3)."""
         u_next, partials = call(scalars, cyl, u_pad, shape_pad, prof_x, prof_y)
-        return u_next, jnp.sum(partials[:, :3], axis=0)
+        e = partials.reshape(n_tiles, steps_per_call, 4)[:, :, :3]
+        return u_next, jnp.sum(e, axis=0)
 
     return step

@@ -57,7 +57,8 @@ def pad_profiles(pml2d: jax.Array, n: int, tile_interior: int):
     return prof_x, prof_y
 
 
-def make_fused_window(env: WaveEnv, tile_interior: int = 48, interpret: bool = False):
+def make_fused_window(env: WaveEnv, tile_interior: int = 48, interpret: bool = False,
+                      steps_per_call: int | None = None):
     """Jitted fused action window mirroring `env_step`'s physics.
 
     Returns window(u_pad, shape_pad, prof_x, prof_y, tspan, cyl) ->
@@ -70,15 +71,24 @@ def make_fused_window(env: WaveEnv, tile_interior: int = 48, interpret: bool = F
     x_min = float(env.dim.x[0])
     n_cyl = _design_space_n_cyl(env)
     freq = float(env.source.freq)
+    steps = env.integration_steps
+    fs0 = min(FRAMESKIP, steps // (N_FRAMES - 1))
+    segs0 = [steps - (N_FRAMES - 1) * fs0] + [fs0] * (N_FRAMES - 1)
+    if steps_per_call is None:
+        # two RK4 steps per kernel pass when the frame segments allow it
+        # (halves per-step HBM traffic; measured slightly faster)
+        steps_per_call = 2 if all(s_ % 2 == 0 for s_ in segs0) else 1
+    spc = int(steps_per_call)
     step = make_fused_acoustic_step(
         n=n, spacing=spacing, dt=env.dt, c0=float(env.c0), freq=freq,
         n_cyl=n_cyl, x_min=x_min, tile_interior=tile_interior,
-        interpret=interpret,
+        interpret=interpret, steps_per_call=spc,
     )
     d_omega = spacing * spacing
     steps = env.integration_steps
     fs = min(FRAMESKIP, steps // (N_FRAMES - 1))
     seg_lens = [steps - (N_FRAMES - 1) * fs] + [fs] * (N_FRAMES - 1)
+    assert all(seg % spc == 0 for seg in seg_lens), (seg_lens, spc)
 
     def window(u_pad, shape_pad, prof_x, prof_y, tspan, cyl):
         ti, tf = tspan[0], tspan[-1]
@@ -87,7 +97,7 @@ def make_fused_window(env: WaveEnv, tile_interior: int = 48, interpret: bool = F
             scalars = jnp.stack([t, ti, tf, jnp.float32(0.0)])
             u2, e = step(u_pad=u, shape_pad=shape_pad, prof_x=prof_x,
                          prof_y=prof_y, scalars=scalars, cyl=cyl)
-            return u2, e * d_omega
+            return u2, e * d_omega  # e: (spc, 3)
 
         e0_tot = jnp.sum(u_pad[0] ** 2) * d_omega
         e0_inc = jnp.sum(u_pad[6] ** 2) * d_omega
@@ -97,9 +107,10 @@ def make_fused_window(env: WaveEnv, tile_interior: int = 48, interpret: bool = F
         u = u_pad
         offset = 0
         for seg in seg_lens:
-            u, es = jax.lax.scan(body, u, jax.lax.dynamic_slice_in_dim(tspan, offset, seg))
+            ts = jax.lax.dynamic_slice_in_dim(tspan, offset, seg)[::spc]
+            u, es = jax.lax.scan(body, u, ts)
             frames.append(u)
-            energies.append(es)
+            energies.append(es.reshape(seg, 3))
             offset += seg
         signal = jnp.concatenate(energies, axis=0)
         return u, frames, signal
@@ -112,11 +123,12 @@ def _design_space_n_cyl(env: WaveEnv) -> int:
     return 0 if c is None else c.r.shape[0]
 
 
-def make_env_step_fused(env: WaveEnv, tile_interior: int = 48, interpret: bool = False):
+def make_env_step_fused(env: WaveEnv, tile_interior: int = 48, interpret: bool = False,
+                        steps_per_call: int | None = None):
     """Drop-in fused replacement for `env_step`: returns a jitted
     step(state, action) -> (state', info)."""
     n = env.dim.shape[0]
-    window = make_fused_window(env, tile_interior, interpret)
+    window = make_fused_window(env, tile_interior, interpret, steps_per_call)
     from ..ops.pallas_fd import unpad_state
 
     @jax.jit
