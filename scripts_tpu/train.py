@@ -110,15 +110,23 @@ def main():
     )
 
     def on_checkpoint(path, p_):
-        if args.model == "acoustic":
-            from waves_jl_tpu.data import dataloader
-            from waves_jl_tpu.viz import make_plots_acoustic
+        from waves_jl_tpu.data import dataloader
+        from waves_jl_tpu.viz import (
+            make_plots_acoustic,
+            make_plots_node,
+            make_plots_pinn,
+        )
 
-            batch = next(iter(dataloader(val_data, args.batch, jax.random.PRNGKey(1))))
-            try:
+        batch = next(iter(dataloader(val_data, args.batch, jax.random.PRNGKey(1))))
+        try:
+            if args.model == "acoustic":
                 make_plots_acoustic(model, p_, batch, path, samples=2)
-            except Exception as e:  # plots must never kill training
-                print(f"plotting failed: {e}")
+            elif args.model == "node":
+                make_plots_node(model, p_, batch, path, samples=2)
+            else:
+                make_plots_pinn(model, p_, batch, path, samples=2)
+        except Exception as e:  # plots must never kill training
+            print(f"plotting failed: {e}")
 
     mesh = None
     if args.dp:

@@ -214,14 +214,16 @@ def make_plots_node(model, params, batch, path: str, samples: int = 1):
         )
 
 
-def make_plots_pinn(model, params, batch, path: str, samples: int = 1):
+def make_plots_pinn(model, params, batch, path: str, samples: int = 1,
+                    video: bool = False):
     """Checkpoint dashboard for the PINN baseline (reference `make_plots`,
-    `src/model/pinn.jl:326-370`): latent video, learned pml/force,
-    predicted-vs-true energies."""
+    `src/model/pinn.jl:326-370`): learned pml/force, predicted-vs-true
+    energies; latent video opt-in (slow)."""
     os.makedirs(path, exist_ok=True)
-    sol = np.asarray(model.generate_latent_solution(params, batch))  # (B,L,4,E)
     latent_x = np.asarray(model.latent_dim.x)
-    render_latent_solution(latent_x, sol[0], path)
+    if video:
+        sol = np.asarray(model.generate_latent_solution(params, batch))  # (B,L,4,E)
+        render_latent_solution(latent_x, sol[0], path)
 
     z0, f, pml, C = model.encode(params, batch)
     plt = _plt()
@@ -243,16 +245,19 @@ def make_plots_pinn(model, params, batch, path: str, samples: int = 1):
             )
 
 
-def make_plots_acoustic(model, params, batch, path: str, samples: int = 1):
+def make_plots_acoustic(model, params, batch, path: str, samples: int = 1,
+                        video: bool = False):
     """Checkpoint dashboard for the flagship model (reference `make_plots`,
-    `src/model/acoustic_energy_model.jl:165-197`): latent video, learned
-    PML, latent source shape, predicted-vs-true energies."""
+    `src/model/acoustic_energy_model.jl:165-197`): learned PML, latent
+    source shape, predicted-vs-true energies; latent video when
+    video=True (matplotlib animation is slow — opt-in per checkpoint)."""
     import jax.numpy as jnp
 
     os.makedirs(path, exist_ok=True)
-    z = np.asarray(model.generate_latent_solution(params, batch))  # (L,B,4,E)
     latent_x = np.asarray(model.latent_dim.x)
-    render_latent_solution(latent_x, z[:, 0], path)
+    if video:
+        z = np.asarray(model.generate_latent_solution(params, batch))  # (L,B,4,E)
+        render_latent_solution(latent_x, z[:, 0], path)
 
     z0, (C, F, PML) = model.get_parameters_and_initial_condition(params, batch)
     plt = _plt()
