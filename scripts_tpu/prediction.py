@@ -26,7 +26,6 @@ enable_persistent_cache()
 from waves_jl_tpu.data import concat_datasets, dataloader, load_episode, prepare_data
 from waves_jl_tpu.models import AcousticEnergyModel, NODEEnergyModel, WaveControlPINN
 from waves_jl_tpu.train import load_checkpoint
-from train import load_dataset
 
 
 def sweep(model, params, eps, horizons, batch: int, batches: int, scalar_out: bool):

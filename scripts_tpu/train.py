@@ -33,7 +33,6 @@ from waves_jl_tpu.models import (
     node_loss,
 )
 from waves_jl_tpu.train import TrainConfig, train
-from waves_jl_tpu.utils.logging import MetricsLogger
 
 
 def load_dataset(data_dir: str, episodes: int, horizon: int, train_val_split: float = 0.9):

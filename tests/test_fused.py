@@ -4,11 +4,10 @@ bench.py; parity on hardware measured at ~3e-7 relative.)"""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 import waves_jl_tpu as w
 from waves_jl_tpu.env import RandomDesignPolicy, env_reset, env_step, make_wave_env
-from waves_jl_tpu.ops.pallas_fd import pad_state, unpad_state, padded_dims, GHOST
+from waves_jl_tpu.ops.pallas_fd import pad_state, padded_dims, unpad_state
 from waves_jl_tpu.physics.fused import cyl_params, design_cylinders, make_env_step_fused
 
 

@@ -1,6 +1,4 @@
 """Native C++ episode store: roundtrip parity with npz + speed sanity."""
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np

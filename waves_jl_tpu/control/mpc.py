@@ -12,7 +12,7 @@ TPU-native re-design of reference `scripts/mpc.jl`:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..designs import DesignSpace
 from ..env import WaveEnv, EnvState, env_observe, env_time
 from ..physics.dynamics import build_tspan
-from ..utils.trees import register_pytree_dataclass, tree_clamp
+from ..utils.trees import tree_clamp
 
 
 def build_action_sequence(action_space: DesignSpace, key: jax.Array, horizon: int, shots: int):

@@ -9,14 +9,13 @@ reference uses BSON, `src/data.jl:60-71`).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .env import WaveEnv, env_observe, env_reset, env_step, env_terminated
+from .env import WaveEnv, env_observe, env_reset, env_step
 from .utils.interp import flatten_repeated_last_dim
 from .utils.trees import register_pytree_dataclass, tree_index, tree_stack
 

@@ -10,7 +10,7 @@ program — eliminating the reference's 400 GPU->CPU syncs per step
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from typing import Any
 
 import jax
@@ -23,7 +23,7 @@ from .designs import (
     SpeedField,
     build_action_space,
 )
-from .dims import TwoDim, build_grid, build_wave, get_dx, get_dy
+from .dims import TwoDim, build_grid, get_dx, get_dy
 from .physics.dynamics import Integrator, build_tspan, make_acoustic_dynamics_2d
 from .utils.trees import register_pytree_dataclass
 

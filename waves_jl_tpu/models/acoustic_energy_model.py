@@ -14,8 +14,7 @@ parameters and stay pure.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -24,9 +23,8 @@ from ..designs import DesignSpace
 from ..dims import OneDim, one_dim
 from ..physics.dynamics import AcousticDynamics1D, Integrator, make_acoustic_dynamics_1d
 from ..sources import Source
-from ..utils.interp import LinearInterpolation
 from .design_encoder import DesignMLP, design_encoder_apply, unroll_design_sequence
-from .layers import embed_sin, sin_basis
+from .layers import embed_sin
 from .wave_encoder import WaveEncoder
 
 

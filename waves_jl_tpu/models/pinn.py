@@ -20,7 +20,7 @@ from ..designs import DesignSpace
 from ..dims import OneDim, build_dirichlet, one_dim
 from ..ops.fd import gradient_matrix
 from ..sources import Source
-from ..utils.interp import LinearInterpolation, evaluate_over_time, flatten_repeated_last_dim
+from ..utils.interp import evaluate_over_time, flatten_repeated_last_dim
 from .design_encoder import DesignMLP, design_encoder_apply
 from .layers import MLP, leaky_relu
 from .wave_encoder import WaveEncoder

@@ -20,7 +20,6 @@ Equations match `acoustic_rhs_2d` / reference `src/dynamics.jl:151-188`.
 """
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

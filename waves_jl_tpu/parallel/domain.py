@@ -9,16 +9,12 @@ the design pytree and time scalars stay replicated.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.fd import fd_dx
-from ..utils.trees import register_pytree_dataclass
 
 
 def fd_dy_halo(u: jax.Array, dy, axis_name: str) -> jax.Array:

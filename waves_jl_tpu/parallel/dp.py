@@ -7,7 +7,6 @@ scales only by gradient accumulation, `scripts/main.jl:80-87`).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -27,7 +27,6 @@ runtime is physics-agnostic (see `waves_jl_tpu/physics/extra.py`).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable
 
 import jax

@@ -8,16 +8,13 @@ tests against the XLA path.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..designs import Cloak, Cylinders, NoDesign, stack_cylinders
 from ..ops.pallas_fd import make_fused_acoustic_step, pad_state, padded_dims, GHOST
-from ..env import FRAMESKIP, N_FRAMES, EnvState, WaveEnv, env_time, env_tspan
-from ..dims import get_dx
+from ..env import FRAMESKIP, N_FRAMES, EnvState, WaveEnv, env_tspan
 
 
 def design_cylinders(design) -> Cylinders | None:

@@ -9,14 +9,12 @@ and the optimizer update; gradient accumulation uses `optax.MultiSteps`
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 
-from ..data import dataloader, num_samples
+from ..data import dataloader
 from ..utils.logging import MetricsLogger, Timer
 from .checkpoint import save_checkpoint
 
