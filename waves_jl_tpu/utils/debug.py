@@ -16,7 +16,7 @@ import jax.numpy as jnp
 def debug_nans(enable: bool = True):
     """Scope with jax.debug_nans enabled: any NaN produced inside a jitted
     computation raises with the offending primitive."""
-    prev = jax.config.read("jax_debug_nans")
+    prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", bool(enable))
     try:
         yield
