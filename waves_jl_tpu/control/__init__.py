@@ -1,4 +1,5 @@
 from .mpc import (
+    OracleShooting,
     GradientShooting,
     RandomShooting,
     build_action_sequence,

@@ -73,6 +73,39 @@ class RandomShooting:
 
 
 @dataclass(frozen=True)
+class OracleShooting:
+    """Random shooting against the TRUE simulator instead of a surrogate —
+    the upper bound on shooting-MPC performance and a correctness check on
+    the control machinery (it must beat random control). Expensive:
+    shots x horizon full-grid windows per action.
+
+    step_fn: (state, action) -> (state', info) — e.g. the fused env step.
+    """
+
+    step_fn: Any
+    horizon: int = 5
+    shots: int = 16
+    alpha: float = 1.0
+
+    def __call__(self, env: WaveEnv, state: EnvState, key: jax.Array):
+        actions = build_action_sequence(env.action_space, key, self.horizon, self.shots)
+        penalty = compute_action_cost(actions)
+        costs = []
+        for s_idx in range(self.shots):
+            st = state
+            sc = 0.0
+            for h in range(self.horizon):
+                a = jax.tree_util.tree_map(lambda x: x[s_idx, h], actions)
+                st, _ = self.step_fn(st, a)
+                sc = sc + jnp.sum(st.signal[:, 2])
+            costs.append(sc)
+        cost = jnp.stack(costs) + self.alpha * penalty
+        idx = int(jnp.argmin(cost))
+        first = jax.tree_util.tree_map(lambda x: x[idx, 0], actions)
+        return first, {"cost": cost, "idx": idx}
+
+
+@dataclass(frozen=True)
 class GradientShooting:
     """Gradient-based MPC: refine a population of action sequences by
     projected gradient descent through the differentiable surrogate."""
