@@ -64,3 +64,14 @@ from .designs import (
 from .sources import GaussianSource, NoSource, Source
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy submodule access (w.models, w.train, ... without eager imports
+    of matplotlib/optax at package import time)."""
+    if name in ("models", "train", "control", "parallel", "viz", "data", "env",
+                "native", "physics", "ops", "utils"):
+        import importlib
+
+        return importlib.import_module("." + name, __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
