@@ -139,7 +139,7 @@ def main():
 
         key = jax.random.PRNGKey(args.seed)
         render_episode(
-            env, lambda k: mpc_jit(params, env_reset(env, key), k)[0], key,
+            env, lambda k, s: mpc_jit(params, s, k)[0], key,
             args.render, field="sc", bound=0.2, energy=True,
         )
 

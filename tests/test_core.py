@@ -102,6 +102,27 @@ def test_linear_interp():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_linear_interp_clamps_float32_overshoot():
+    """Regression: under RK4 the k4 stage queries C at t + dt, which can
+    overshoot the final knot by one float32 ulp; the interpolation must
+    return the endpoint value, not zero (the reference's behavior)."""
+    # reproduce the reference operating point: window starting at step 100
+    dt = jnp.float32(1e-5)
+    ti = jnp.float32(100) * dt
+    tspan = ti + build_tspan(0.0, 1e-5, 100)
+    knots = jnp.stack([tspan[0], tspan[-1]])[None]  # (1, 2)
+    Y = jnp.ones((1, 2, 4), jnp.float32)
+    interp = LinearInterpolation(knots, Y)
+    # the k4 query of the last step
+    t_over = (tspan[-2] + dt)[None]
+    assert float(t_over[0]) >= float(knots[0, -1])  # overshoot (or equal)
+    out = interp(t_over)
+    np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-6)
+    # below-range queries clamp to the first knot value as well
+    out_lo = interp(jnp.array([float(knots[0, 0]) - 1.0], jnp.float32))
+    np.testing.assert_allclose(np.asarray(out_lo), 1.0, rtol=1e-6)
+
+
 def test_tspan():
     t = build_tspan(0.0, 1e-5, 100)
     assert t.shape == (101,)

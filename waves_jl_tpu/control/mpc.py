@@ -97,7 +97,9 @@ class OracleShooting:
             for h in range(self.horizon):
                 a = jax.tree_util.tree_map(lambda x: x[s_idx, h], actions)
                 st, _ = self.step_fn(st, a)
-                sc = sc + jnp.sum(st.signal[:, 2])
+                # signal[0] is the (action-independent) pre-step state and
+                # equals the previous window's final row: count each step once
+                sc = sc + jnp.sum(st.signal[1:, 2])
             costs.append(sc)
         cost = jnp.stack(costs) + self.alpha * penalty
         idx = int(jnp.argmin(cost))

@@ -214,15 +214,6 @@ def load_episode(path: str, like: Episode | None = None) -> Episode:
     if like is None:
         from .designs import AdjustableRadiiScatterers, Cloak, Cylinders
 
-        def cyl(prefix):
-            return Cylinders(
-                pos=jnp.asarray(data[prefix + ".cylinders.pos"])
-                if prefix + ".cylinders.pos" in data
-                else jnp.asarray(data[prefix + ".pos"]),
-                r=jnp.asarray(data.get(prefix + ".cylinders.r", data.get(prefix + ".r"))),
-                c=jnp.asarray(data.get(prefix + ".cylinders.c", data.get(prefix + ".c"))),
-            )
-
         def cloak(prefix):
             return Cloak(
                 config=AdjustableRadiiScatterers(

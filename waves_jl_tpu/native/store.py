@@ -29,7 +29,12 @@ def _load():
         if NATIVE_AVAILABLE is not None:
             return _lib
         try:
-            if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            stale = (
+                os.path.exists(_SRC)
+                and os.path.exists(_LIB)
+                and os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+            )
+            if not os.path.exists(_LIB) or stale:
                 os.makedirs(_LIB_DIR, exist_ok=True)
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],

@@ -36,10 +36,8 @@ def gradient_matrix(x: jax.Array) -> jax.Array:
     i = jnp.arange(n)
     # interior: -1 at (i, i-1), +1 at (i, i+1)
     grad = jnp.zeros((n, n), dtype=jnp.float32)
-    interior = (i > 0) & (i < n - 1)
     grad = grad.at[i[1:-1], i[1:-1] - 1].set(-1.0)
     grad = grad.at[i[1:-1], i[1:-1] + 1].set(1.0)
-    del interior
     # one-sided boundary rows
     grad = grad.at[0, 0].set(-3.0)
     grad = grad.at[0, 1].set(4.0)

@@ -69,12 +69,12 @@ def make_fused_window(env: WaveEnv, tile_interior: int = 48, interpret: bool = F
     n_cyl = _design_space_n_cyl(env)
     freq = float(env.source.freq)
     steps = env.integration_steps
-    fs0 = min(FRAMESKIP, steps // (N_FRAMES - 1))
-    segs0 = [steps - (N_FRAMES - 1) * fs0] + [fs0] * (N_FRAMES - 1)
+    fs = min(FRAMESKIP, steps // (N_FRAMES - 1))
+    seg_lens = [steps - (N_FRAMES - 1) * fs] + [fs] * (N_FRAMES - 1)
     if steps_per_call is None:
         # two RK4 steps per kernel pass when the frame segments allow it
         # (halves per-step HBM traffic; measured slightly faster)
-        steps_per_call = 2 if all(s_ % 2 == 0 for s_ in segs0) else 1
+        steps_per_call = 2 if all(s_ % 2 == 0 for s_ in seg_lens) else 1
     spc = int(steps_per_call)
     step = make_fused_acoustic_step(
         n=n, spacing=spacing, dt=env.dt, c0=float(env.c0), freq=freq,
@@ -82,9 +82,6 @@ def make_fused_window(env: WaveEnv, tile_interior: int = 48, interpret: bool = F
         interpret=interpret, steps_per_call=spc,
     )
     d_omega = spacing * spacing
-    steps = env.integration_steps
-    fs = min(FRAMESKIP, steps // (N_FRAMES - 1))
-    seg_lens = [steps - (N_FRAMES - 1) * fs] + [fs] * (N_FRAMES - 1)
     assert all(seg % spc == 0 for seg in seg_lens), (seg_lens, spc)
 
     def window(u_pad, shape_pad, prof_x, prof_y, tspan, cyl):

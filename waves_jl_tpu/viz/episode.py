@@ -37,7 +37,10 @@ def rollout_fields(
     step_full = jax.jit(lambda s, a: env_step_full(env, s, a))
     while not bool(env_terminated(env, state)):
         key, k = jax.random.split(key)
-        action = policy(k)
+        try:
+            action = policy(k, state)  # state-aware policies (e.g. MPC)
+        except TypeError:
+            action = policy(k)
         d1 = state.design
         state, info = step_full(state, action)
         u_tot = np.asarray(info["u_tot"])
