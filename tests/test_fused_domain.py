@@ -1,0 +1,61 @@
+"""Multi-chip fused kernel: y-sharded Pallas rollout under shard_map on the
+8-device CPU mesh (interpret mode) vs the single-device fused path and the
+XLA path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import waves_jl_tpu as w
+from waves_jl_tpu.env import RandomDesignPolicy, env_reset, env_step, make_wave_env
+from waves_jl_tpu.parallel import make_mesh
+from waves_jl_tpu.parallel.fused_domain import make_fused_sharded_rollout
+from waves_jl_tpu.physics.fused import cyl_params
+
+N = 128  # 8 shards x 16 columns
+STEPS = 12
+
+
+def test_fused_sharded_matches_xla():
+    dim = w.two_dim(15.0, N)
+    grid = w.build_grid(dim)
+    source = w.GaussianSource.create(
+        grid, jnp.array([[-10.0, -10.0]]), jnp.array([[-10.0, 10.0]]),
+        jnp.array([0.3]), jnp.array([1.0]), 1000.0,
+    )
+    env = make_wave_env(
+        dim, w.build_triple_ring_design_space(), source,
+        resolution=(16, 16), integration_steps=STEPS, actions=1,
+    )
+    state = env_reset(env, jax.random.PRNGKey(0))
+    action = RandomDesignPolicy(env.action_space)(jax.random.PRNGKey(1))
+
+    # XLA reference
+    s_ref, info = env_step(env, state, action)
+    sig_ref = np.asarray(s_ref.signal)
+
+    # y-sharded fused rollout
+    mesh = make_mesh(8, axis_name="space")
+    spacing = float(2.0 * 15.0 / (N - 1))
+    rollout = make_fused_sharded_rollout(
+        mesh, n=N, spacing=spacing, dt=env.dt, c0=float(env.c0),
+        freq=1000.0, n_cyl=19, x_min=-15.0, axis_name="space", interpret=True,
+    )
+    next_design = env.design_space(state.design, action)
+    cyl = cyl_params(state.design, next_design)
+    tspan = info["tspan"]
+    prof = env.integrator.dynamics.pml[:, 0]
+    d_omega = spacing * spacing
+
+    u_final, sig = rollout(state.wave[-1], tspan, cyl, state.source.shape, prof)
+    sig = np.asarray(sig) * d_omega
+
+    scale = max(np.abs(sig_ref).max(), 1e-30)
+    assert np.abs(sig - sig_ref).max() < 1e-5 * scale, (
+        np.abs(sig - sig_ref).max() / scale
+    )
+
+    # final state matches the XLA rollout's final frame
+    u_ref = np.asarray(s_ref.wave[-1])
+    u_ours = np.asarray(u_final)
+    wscale = max(np.abs(u_ref).max(), 1e-30)
+    assert np.abs(u_ours - u_ref).max() < 1e-5 * wscale

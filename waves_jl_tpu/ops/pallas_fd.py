@@ -96,6 +96,8 @@ def make_fused_acoustic_step(
     tile_interior: int = 48,
     interpret: bool = False,
     steps_per_call: int = 1,
+    ny_local: int | None = None,
+    y_ghost: int = 0,
 ):
     """Build the fused RK4 step.
 
@@ -105,16 +107,28 @@ def make_fused_acoustic_step(
       shape_pad (PX, PY) padded source spatial shape
       prof_x   (PX, 1) PML sigma profile over padded x
       prof_y   (1, PY) PML sigma profile over padded y
-      scalars  (4,) f32 [t, ti, tf, 0] — step time + design lerp window
+      scalars  (4,) f32 [t, ti, tf, col_offset] — step time, design lerp
+               window, and the global column index of local lane 0 (nonzero
+               only in y-sharded multi-chip operation)
       cyl      (8, n_cyl) f32 rows [p1x, p1y, r1, c1, p2x, p2y, r2, c2]
-    energies = [tot, inc, sc] sums of u^2 over the domain (multiply by
+    energies = [tot, inc, sc] sums of u^2 over the OWNED region (multiply by
     dOmega outside).
+
+    Multi-chip (y-sharded) mode: `ny_local` = owned columns of this shard,
+    `y_ghost` = halo columns on each side carrying neighbor data (>= HALO x
+    steps_per_call). The one-sided y stencils then apply only at the TRUE
+    domain columns (global index 0 / n-1); interior seams use the halo data
+    via central differences. n stays the GLOBAL grid size.
     """
-    px, py, n_tiles = padded_dims(n, tile_interior)
+    if ny_local is None:
+        ny_local = n
+    px, _, n_tiles = padded_dims(n, tile_interior)
+    py = math.ceil((ny_local + 2 * y_ghost) / LANE) * LANE
     rows = tile_interior + 2 * GHOST  # DMA'd rows per tile
     inv2d = 1.0 / (2.0 * spacing)
     fdt = float(dt)  # python float: jnp constants captured by kernels are rejected
     assert 1 <= steps_per_call <= GHOST // HALO, steps_per_call
+    assert y_ghost == 0 or y_ghost >= HALO * steps_per_call, (y_ghost, steps_per_call)
 
     def kernel(scalars, cyl, u_hbm, shape_ref, profx_ref, profy_ref,
                out_hbm, e_ref, u_scr, o_scr, csum_scr, inside_scr,
@@ -135,11 +149,13 @@ def make_fused_acoustic_step(
         # global coordinates of this tile
         l_row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         gx_row = row0 + l_row - GHOST  # true grid row index (may be <0 / >=n)
-        gy_col = jax.lax.broadcasted_iota(jnp.int32, (1, py), 1)
+        l_col = jax.lax.broadcasted_iota(jnp.int32, (1, py), 1)
+        col_offset = scalars[3].astype(jnp.int32) - y_ghost
+        gy_col = col_offset + l_col  # GLOBAL column index of each lane
         x_coord = x_min + gx_row.astype(jnp.float32) * spacing
         y_coord = x_min + gy_col.astype(jnp.float32) * spacing
 
-        valid = (gx_row >= 0) & (gx_row < n) & (gy_col < n)
+        valid = (gx_row >= 0) & (gx_row < n) & (gy_col >= 0) & (gy_col < n)
         fvalid = valid.astype(jnp.float32)
 
         sx = profx_ref[pl.ds(row0, rows), :]  # (rows, 1)
@@ -210,7 +226,13 @@ def make_fused_acoustic_step(
         cp_in.wait()
         u = [u_scr[ch] for ch in range(12)]
 
-        owned = valid & (l_row >= GHOST) & (l_row < GHOST + tile_interior)
+        owned = (
+            valid
+            & (l_row >= GHOST)
+            & (l_row < GHOST + tile_interior)
+            & (l_col >= y_ghost)
+            & (l_col < y_ghost + ny_local)
+        )
         sixth = fdt / 6.0
         for st in range(steps_per_call):
             ts0 = t + st * fdt
@@ -254,13 +276,13 @@ def make_fused_acoustic_step(
         num_scalar_prefetch=2,  # scalars, cyl
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # u_hbm
+            pl.BlockSpec(memory_space=pl.ANY),  # u_hbm
             pl.BlockSpec(memory_space=pltpu.VMEM),  # shape (full)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # prof_x
             pl.BlockSpec(memory_space=pltpu.VMEM),  # prof_y
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # u_out
+            pl.BlockSpec(memory_space=pl.ANY),  # u_out
             pl.BlockSpec(
                 (n_tiles, 4 * steps_per_call), lambda i, *_: (0, 0),
                 memory_space=pltpu.SMEM,
