@@ -98,7 +98,10 @@ def main():
 
     train_data, val_data = load_dataset(args.data, args.episodes, args.horizon)
     model, loss_fn = build_model(args.model, args.steps, args)
-    params = model.init(jax.random.PRNGKey(args.seed), train_data)
+    # init on one minibatch, not the whole dataset (a full-dataset forward
+    # through the conv encoder OOMs at reference scale)
+    init_batch = jax.tree_util.tree_map(lambda x: x[: args.batch], train_data)
+    params = model.init(jax.random.PRNGKey(args.seed), init_batch)
 
     os.makedirs(args.out, exist_ok=True)
     config = TrainConfig(
