@@ -150,8 +150,11 @@ def make_fused_acoustic_step(
         l_row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         gx_row = row0 + l_row - GHOST  # true grid row index (may be <0 / >=n)
         l_col = jax.lax.broadcasted_iota(jnp.int32, (1, py), 1)
-        col_offset = scalars[3].astype(jnp.int32) - y_ghost
-        gy_col = col_offset + l_col  # GLOBAL column index of each lane
+        if y_ghost == 0 and ny_local == n:
+            gy_col = l_col  # single-device: static (Mosaic constant-folds)
+        else:
+            col_offset = scalars[3].astype(jnp.int32) - y_ghost
+            gy_col = col_offset + l_col  # GLOBAL column index of each lane
         x_coord = x_min + gx_row.astype(jnp.float32) * spacing
         y_coord = x_min + gy_col.astype(jnp.float32) * spacing
 
