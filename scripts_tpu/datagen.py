@@ -23,7 +23,11 @@ import waves_jl_tpu as w
 from waves_jl_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
-from waves_jl_tpu.data import generate_episode, generate_episode_fused, save_episode
+from waves_jl_tpu.data import (
+    generate_episode,
+    generate_episodes_chunked,
+    save_episode,
+)
 from waves_jl_tpu.env import RandomDesignPolicy, make_wave_env
 
 
@@ -59,6 +63,8 @@ def main():
                    help="wbin = native mmap store (falls back to npz without g++)")
     p.add_argument("--no-fused", action="store_true",
                    help="use the XLA stencil path instead of the Pallas kernel")
+    p.add_argument("--chunk", type=int, default=10,
+                   help="episodes per device dispatch on the fused path")
     args = p.parse_args()
 
     os.makedirs(os.path.join(args.out, "episodes"), exist_ok=True)
@@ -77,25 +83,40 @@ def main():
             f,
         )
 
-    fused_step = None
-    if not args.no_fused:
-        from waves_jl_tpu.physics.fused import make_env_step_fused
-
-        fused_step = make_env_step_fused(env)
-
     key = jax.random.PRNGKey(args.seed)
-    for i in range(args.episodes):
-        key, k = jax.random.split(key)
-        t0 = time.time()
-        if fused_step is not None:
-            _, ep = generate_episode_fused(env, policy, k, fused_step)
-        else:
-            _, ep = generate_episode(env, policy, k)
-        jax.block_until_ready(ep.y)
-        save_episode(
-            ep, os.path.join(args.out, "episodes", f"episode{i + 1}.{args.format}")
+    t_start = time.time()
+    if not args.no_fused:
+        # fused path: observe + Pallas windows for a whole chunk of episodes
+        # in one device program (dispatch-amortized)
+        last = [time.time()]
+
+        def save(i, ep):
+            save_episode(
+                ep, os.path.join(args.out, "episodes", f"episode{i + 1}.{args.format}")
+            )
+            now = time.time()
+            print(
+                f"episode {i + 1}/{args.episodes} "
+                f"({now - last[0]:.2f}s since previous)", flush=True,
+            )
+            last[0] = now
+
+        generate_episodes_chunked(
+            env, policy, key, args.episodes, chunk=args.chunk, on_episode=save
         )
-        print(f"episode {i + 1}/{args.episodes} in {time.time() - t0:.2f}s", flush=True)
+    else:
+        for i in range(args.episodes):
+            key, k = jax.random.split(key)
+            t0 = time.time()
+            _, ep = generate_episode(env, policy, k)
+            jax.block_until_ready(ep.y)
+            save_episode(
+                ep, os.path.join(args.out, "episodes", f"episode{i + 1}.{args.format}")
+            )
+            print(f"episode {i + 1}/{args.episodes} in {time.time() - t0:.2f}s", flush=True)
+    total = time.time() - t_start
+    print(f"TOTAL {args.episodes} episodes in {total:.1f}s "
+          f"({total / args.episodes:.2f}s/episode)", flush=True)
 
 
 if __name__ == "__main__":

@@ -152,3 +152,50 @@ def test_dataloader():
     batches = list(dataloader(data, 2, jax.random.PRNGKey(1)))
     assert len(batches) == 1
     assert batches[0]["s_wave"].shape[0] == 2
+
+
+def _toy_episode(design):
+    """Synthetic 2-action Episode around an arbitrary design pytree."""
+    A = 2
+    d_seq = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (A,) + x.shape), design
+    )
+    return w.data.Episode(
+        s_wave=jnp.ones((A, 8, 8, 4), jnp.float32),
+        s_design=d_seq,
+        s_tspan=jnp.broadcast_to(jnp.linspace(0.0, 1.0, 11), (A, 11)),
+        a=d_seq,
+        y=jnp.zeros((A, 11, 3), jnp.float32),
+    )
+
+
+def test_save_load_all_design_families(tmp_path):
+    """Structure-descriptor round-trip: no `like=` template for ANY family."""
+    from waves_jl_tpu.designs import (
+        AdjustablePositionScatterers,
+        AdjustableRadiiScatterers,
+        Cloak,
+        Cylinders,
+    )
+
+    cyl = Cylinders(
+        pos=jnp.arange(6, dtype=jnp.float32).reshape(3, 2),
+        r=jnp.array([0.5, 0.6, 0.7]),
+        c=jnp.array([340.0, 341.0, 342.0]),
+    )
+    designs = {
+        "cylinders": cyl,
+        "radii": AdjustableRadiiScatterers(cyl),
+        "position": AdjustablePositionScatterers(cyl),
+        "cloak": Cloak(config=AdjustableRadiiScatterers(cyl), core=cyl),
+    }
+    for name, d in designs.items():
+        ep = _toy_episode(d)
+        p = str(tmp_path / f"{name}.npz")
+        save_episode(ep, p)
+        ep2 = load_episode(p)
+        assert type(ep2.s_design) is type(ep.s_design)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ep), jax.tree_util.tree_leaves(ep2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -68,3 +68,38 @@ def test_fused_matches_xla_interpret():
     s_f2, _ = fused(s_f, a2)
     sig2r, sig2f = np.asarray(s_ref2.signal), np.asarray(s_f2.signal)
     assert np.abs(sig2r - sig2f).max() < 1e-5 * max(np.abs(sig2r).max(), 1e-30)
+
+
+def test_episode_chunk_fused_matches_xla():
+    """Whole-episode chunked fused scan == per-window XLA episode scan."""
+    from waves_jl_tpu.data import generate_episode, make_episode_chunk_fused
+    from waves_jl_tpu.utils.trees import tree_index
+
+    env = _env(n=96, steps=20, actions=3)
+    policy = RandomDesignPolicy(env.action_space)
+    key = jax.random.PRNGKey(7)
+    k_reset, k_act = jax.random.split(key)
+    state = env_reset(env, k_reset)
+    akeys = jax.random.split(k_act, env.actions)
+    actions = jax.vmap(policy)(akeys)
+
+    # XLA reference path on exactly the same state/actions
+    from waves_jl_tpu.data import _episode_scan
+
+    _, ep_ref = _episode_scan(env, state, actions)
+
+    run = make_episode_chunk_fused(env, interpret=True)
+    states = jax.tree_util.tree_map(lambda x: x[None], state)
+    acts = jax.tree_util.tree_map(lambda x: x[None], actions)
+    eps = run(states, acts)
+    ep = tree_index(eps, 0)
+
+    np.testing.assert_allclose(
+        np.asarray(ep.y), np.asarray(ep_ref.y), rtol=2e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ep.s_wave), np.asarray(ep_ref.s_wave), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ep.s_tspan), np.asarray(ep_ref.s_tspan), rtol=1e-6
+    )

@@ -17,7 +17,13 @@ import numpy as np
 
 from .env import WaveEnv, env_observe, env_reset, env_step
 from .utils.interp import flatten_repeated_last_dim
-from .utils.trees import register_pytree_dataclass, tree_index, tree_stack
+from .utils.trees import (
+    decode_structure,
+    encode_structure,
+    register_pytree_dataclass,
+    tree_index,
+    tree_stack,
+)
 
 
 @register_pytree_dataclass
@@ -100,6 +106,122 @@ def generate_episode_fused(env: WaveEnv, policy, key: jax.Array, fused_step, sta
     )
 
 
+def make_episode_fused(env: WaveEnv, tile_interior: int = 48, interpret: bool = False):
+    """Whole-episode fused generator: observe + Pallas window for all
+    `env.actions` windows inside ONE `lax.scan` program (one device dispatch
+    per episode instead of 2 per action window — the per-window loop in
+    `generate_episode_fused` is dispatch-bound at ~30 ms/call through the
+    axon tunnel).
+
+    Returns run(state, actions) -> (final_state, Episode), jitted.
+    """
+    from .physics.fused import make_env_step_fused
+
+    step = make_env_step_fused(env, tile_interior, interpret, jit=False)
+
+    @jax.jit
+    def run(state, actions):
+        def body(st, action):
+            obs = env_observe(env, st)
+            st2, info = step(st, action)
+            return st2, (obs.wave, obs.design, info["tspan"], st2.signal)
+
+        final, (s_wave, s_design, s_tspan, y) = jax.lax.scan(body, state, actions)
+        return final, Episode(
+            s_wave=s_wave, s_design=s_design, s_tspan=s_tspan, a=actions, y=y
+        )
+
+    return run
+
+
+def make_episode_chunk_fused(env: WaveEnv, tile_interior: int = 48,
+                             interpret: bool = False):
+    """Chunk-of-episodes fused generator: K independent episodes
+    sequentially inside one program (outer scan over episodes, inner scan
+    over action windows). Amortizes dispatch + keeps peak memory at one
+    episode's working set (unlike vmap batching at 700^2).
+
+    Returns run(states, actions) -> Episode with leading axis K on every
+    leaf, where `states`/`actions` are stacked over K.
+    """
+    from .physics.fused import make_env_step_fused
+
+    step = make_env_step_fused(env, tile_interior, interpret, jit=False)
+
+    def one_episode(state, actions):
+        def body(st, action):
+            obs = env_observe(env, st)
+            st2, info = step(st, action)
+            return st2, (obs.wave, obs.design, info["tspan"], st2.signal)
+
+        final, (s_wave, s_design, s_tspan, y) = jax.lax.scan(body, state, actions)
+        return Episode(
+            s_wave=s_wave, s_design=s_design, s_tspan=s_tspan, a=actions, y=y
+        )
+
+    @jax.jit
+    def run(states, actions):
+        def body(_, xs):
+            st, acts = xs
+            return None, one_episode(st, acts)
+
+        _, eps = jax.lax.scan(body, None, (states, actions))
+        return eps
+
+    return run
+
+
+def generate_episodes_chunked(env: WaveEnv, policy, key: jax.Array,
+                              episodes: int, chunk: int = 8,
+                              run_chunk=None, on_episode=None):
+    """Generate `episodes` episodes on the fused path, `chunk` per dispatch.
+
+    `on_episode(i, episode)` is called for each finished episode (e.g. to
+    save it); returns the list of episodes if no callback is given.
+    """
+    if run_chunk is None:
+        run_chunk = make_episode_chunk_fused(env)
+    out = []
+
+    def dispatch(start: int, key):
+        k_this = min(chunk, episodes - start)
+        k_reset, k_act = jax.random.split(key)
+        states = jax.vmap(lambda kk: env_reset(env, kk))(
+            jax.random.split(k_reset, k_this)
+        )
+        akeys = jax.random.split(k_act, k_this * env.actions).reshape(
+            k_this, env.actions, 2
+        )
+        actions = jax.vmap(jax.vmap(policy))(akeys)
+        return k_this, run_chunk(states, actions)
+
+    def collect(start: int, k_this: int, eps):
+        # one batched device->host transfer for the whole chunk (per-episode
+        # pulls serialize many small copies through the tunnel)
+        eps_host = jax.device_get(eps)
+        for j in range(k_this):
+            ep = tree_index(eps_host, j)
+            if on_episode is not None:
+                on_episode(start + j, ep)
+            else:
+                out.append(ep)
+
+    # depth-1 pipeline: dispatch chunk i+1 (async) before pulling chunk i,
+    # so the host transfer overlaps the next chunk's device compute
+    pending = None
+    done = 0
+    while done < episodes:
+        key, k = jax.random.split(key)
+        k_this, eps = dispatch(done, k)
+        if pending is not None:
+            collect(*pending)
+        pending = (done, k_this, eps)
+        done += k_this
+    if pending is not None:
+        collect(*pending)
+    return out
+
+
 def generate_episodes_batch(env: WaveEnv, policy, key: jax.Array, batch: int):
     """vmap-batched episode generation: `batch` independent episodes
     (random designs/sources/actions) in one device program. Returns an
@@ -180,6 +302,9 @@ def dataloader(data: dict, batch_size: int, key: jax.Array, drop_last: bool = Tr
 # ---------------------------------------------------------------------------
 
 
+_STRUCT_KEY = "__structure__"
+
+
 def _flatten_named(tree):
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat}
@@ -188,21 +313,34 @@ def _flatten_named(tree):
 def save_episode(episode: Episode, path: str):
     """Save an episode. `.wbin` uses the native mmap'd binary store
     (native/episode_store.cpp, ~10x faster than compressed npz); any other
-    extension uses npz."""
+    extension uses npz.
+
+    A JSON structure descriptor (`encode_structure`) is stored alongside the
+    leaves so `load_episode` can rebuild the design/action pytrees of ANY
+    registered design family — the reference gets this from BSON's Julia
+    type tags (`src/data.jl:60-71`). Encoded as a float32 byte array because
+    the native store is float32-only.
+    """
+    import json
+
+    named = _flatten_named(episode)
+    desc = json.dumps(encode_structure(episode)).encode()
+    named[_STRUCT_KEY] = np.frombuffer(desc, dtype=np.uint8).astype(np.float32)
     if path.endswith(".wbin"):
         from .native import save_bundle
 
-        if save_bundle(path, _flatten_named(episode)):
+        if save_bundle(path, named):
             return
         path = path[: -len(".wbin")] + ".npz"  # toolchain-less fallback
-    np.savez_compressed(path, **_flatten_named(episode))
+    np.savez_compressed(path, **named)
 
 
 def load_episode(path: str, like: Episode | None = None) -> Episode:
-    """Load an episode saved by `save_episode`. Requires a structural
-    template `like` when the design/action pytree types cannot be inferred;
-    episodes produced by this framework's standard Cloak envs load without
-    one."""
+    """Load an episode saved by `save_episode`. The stored structure
+    descriptor reconstructs any registered design family; `like` overrides it
+    as a structural template (also the only path for pre-descriptor files)."""
+    import json
+
     if path.endswith(".wbin"):
         from .native import load_bundle
 
@@ -212,31 +350,15 @@ def load_episode(path: str, like: Episode | None = None) -> Episode:
     else:
         data = np.load(path)
     if like is None:
-        from .designs import AdjustableRadiiScatterers, Cloak, Cylinders
-
-        def cloak(prefix):
-            return Cloak(
-                config=AdjustableRadiiScatterers(
-                    Cylinders(
-                        pos=jnp.asarray(data[prefix + ".config.cylinders.pos"]),
-                        r=jnp.asarray(data[prefix + ".config.cylinders.r"]),
-                        c=jnp.asarray(data[prefix + ".config.cylinders.c"]),
-                    )
-                ),
-                core=Cylinders(
-                    pos=jnp.asarray(data[prefix + ".core.pos"]),
-                    r=jnp.asarray(data[prefix + ".core.r"]),
-                    c=jnp.asarray(data[prefix + ".core.c"]),
-                ),
+        if _STRUCT_KEY not in data:
+            raise ValueError(
+                f"{path} predates the structure descriptor; pass a `like=` "
+                "template Episode to load it"
             )
-
-        return Episode(
-            s_wave=jnp.asarray(data[".s_wave"]),
-            s_design=cloak(".s_design"),
-            s_tspan=jnp.asarray(data[".s_tspan"]),
-            a=cloak(".a"),
-            y=jnp.asarray(data[".y"]),
+        desc = json.loads(
+            bytes(np.asarray(data[_STRUCT_KEY]).astype(np.uint8)).decode()
         )
+        return decode_structure(desc, lambda k: jnp.asarray(data[k]))
     leaves, treedef = jax.tree_util.tree_flatten(like)
     named = _flatten_named(like)
     keys = list(named.keys())

@@ -118,14 +118,15 @@ def _design_space_n_cyl(env: WaveEnv) -> int:
 
 
 def make_env_step_fused(env: WaveEnv, tile_interior: int = 48, interpret: bool = False,
-                        steps_per_call: int | None = None):
+                        steps_per_call: int | None = None, jit: bool = True):
     """Drop-in fused replacement for `env_step`: returns a jitted
-    step(state, action) -> (state', info)."""
+    step(state, action) -> (state', info). With ``jit=False`` the raw
+    traceable step is returned, for embedding inside a larger program
+    (e.g. the whole-episode scan in `data.make_episode_fused`)."""
     n = env.dim.shape[0]
     window = make_fused_window(env, tile_interior, interpret, steps_per_call)
     from ..ops.pallas_fd import unpad_state
 
-    @jax.jit
     def step(state: EnvState, action):
         tspan = env_tspan(env, state)
         next_design = env.design_space(state.design, action)
@@ -144,4 +145,4 @@ def make_env_step_fused(env: WaveEnv, tile_interior: int = 48, interpret: bool =
         )
         return new_state, {"tspan": tspan}
 
-    return step
+    return jax.jit(step) if jit else step

@@ -12,6 +12,10 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+# name -> (class, meta_fields); lets saved pytrees be reconstructed from a
+# structure descriptor without a structural template (see encode_structure).
+PYTREE_REGISTRY: dict = {}
+
 
 def register_pytree_dataclass(cls=None, *, meta_fields: tuple = ()):
     """Register a frozen dataclass as a JAX pytree; `meta_fields` are static."""
@@ -21,9 +25,73 @@ def register_pytree_dataclass(cls=None, *, meta_fields: tuple = ()):
         jax.tree_util.register_dataclass(
             c, data_fields=data_fields, meta_fields=list(meta_fields)
         )
+        PYTREE_REGISTRY[c.__name__] = (c, tuple(meta_fields))
         return c
 
     return wrap(cls) if cls is not None else wrap
+
+
+def encode_structure(obj) -> object:
+    """JSON-able nesting descriptor of a pytree built from registered
+    dataclasses, dicts, lists/tuples, and array leaves. Static (meta) fields
+    are stored by value and must be JSON-serializable. Paired with
+    `decode_structure`, this lets `load_episode` rebuild any registered
+    design/action pytree from saved leaf arrays — the reference's BSON gets
+    this for free via Julia type tags (`src/data.jl:60-71`)."""
+    name = type(obj).__name__
+    if dataclasses.is_dataclass(obj) and name in PYTREE_REGISTRY:
+        _, meta = PYTREE_REGISTRY[name]
+        return {
+            "__dataclass__": name,
+            "fields": {
+                f.name: (
+                    {"__static__": getattr(obj, f.name)}
+                    if f.name in meta
+                    else encode_structure(getattr(obj, f.name))
+                )
+                for f in dataclasses.fields(obj)
+            },
+        }
+    if isinstance(obj, dict):
+        return {"__dict__": {k: encode_structure(v) for k, v in obj.items()}}
+    if isinstance(obj, (list, tuple)):
+        return {
+            "__seq__": [encode_structure(v) for v in obj],
+            "tuple": isinstance(obj, tuple),
+        }
+    if obj is None:
+        return {"__none__": True}
+    return {"__leaf__": True}
+
+
+def decode_structure(desc, get_leaf, prefix: str = ""):
+    """Rebuild a pytree from an `encode_structure` descriptor; `get_leaf` maps
+    a keystr path (e.g. ``.s_design.config.cylinders.pos``) to an array. Path
+    syntax matches `jax.tree_util.keystr` for dataclass/dict/sequence nodes."""
+    if "__dataclass__" in desc:
+        cls, _ = PYTREE_REGISTRY[desc["__dataclass__"]]
+        kwargs = {}
+        for fname, fdesc in desc["fields"].items():
+            if isinstance(fdesc, dict) and "__static__" in fdesc:
+                val = fdesc["__static__"]
+                kwargs[fname] = tuple(val) if isinstance(val, list) else val
+            else:
+                kwargs[fname] = decode_structure(fdesc, get_leaf, f"{prefix}.{fname}")
+        return cls(**kwargs)
+    if "__dict__" in desc:
+        return {
+            k: decode_structure(v, get_leaf, f"{prefix}['{k}']")
+            for k, v in desc["__dict__"].items()
+        }
+    if "__seq__" in desc:
+        items = [
+            decode_structure(v, get_leaf, f"{prefix}[{i}]")
+            for i, v in enumerate(desc["__seq__"])
+        ]
+        return tuple(items) if desc["tuple"] else items
+    if "__none__" in desc:
+        return None
+    return get_leaf(prefix)
 
 
 def tree_add(a, b):
