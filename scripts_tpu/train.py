@@ -23,7 +23,7 @@ import waves_jl_tpu as w
 from waves_jl_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
-from waves_jl_tpu.data import concat_datasets, load_episode, prepare_data
+from waves_jl_tpu.data import load_episode, prepare_dataset
 from waves_jl_tpu.models import (
     AcousticEnergyModel,
     NODEEnergyModel,
@@ -42,11 +42,11 @@ def load_dataset(data_dir: str, episodes: int, horizon: int, train_val_split: fl
         key=lambda p: int("".join(c for c in os.path.basename(p) if c.isdigit())),
     )[:episodes]
     assert paths, f"no episodes under {data_dir}"
-    eps = [load_episode(p) for p in paths]
+    eps = [load_episode(p, device=False) for p in paths]
     idx = int(round(len(eps) * train_val_split))
     train_eps, val_eps = eps[:idx], eps[idx:] or eps[-1:]
-    train_data = concat_datasets([prepare_data(ep, horizon) for ep in train_eps])
-    val_data = concat_datasets([prepare_data(ep, horizon) for ep in val_eps])
+    train_data = prepare_dataset(train_eps, horizon)
+    val_data = prepare_dataset(val_eps, horizon)
     return train_data, val_data
 
 
@@ -94,6 +94,9 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp", action="store_true",
                    help="data-parallel over all devices via shard_map")
+    p.add_argument("--init-from", type=str, default=None,
+                   help="checkpoint dir to initialize params from "
+                        "(e.g. horizon-20 fine-tune of a horizon-8 run)")
     args = p.parse_args()
 
     train_data, val_data = load_dataset(args.data, args.episodes, args.horizon)
@@ -102,6 +105,11 @@ def main():
     # through the conv encoder OOMs at reference scale)
     init_batch = jax.tree_util.tree_map(lambda x: x[: args.batch], train_data)
     params = model.init(jax.random.PRNGKey(args.seed), init_batch)
+    if args.init_from:
+        from waves_jl_tpu.train.checkpoint import load_checkpoint
+
+        params, _, step0 = load_checkpoint(args.init_from, params)
+        print(f"initialized params from {args.init_from} (step {step0})")
 
     os.makedirs(args.out, exist_ok=True)
     config = TrainConfig(

@@ -335,10 +335,15 @@ def save_episode(episode: Episode, path: str):
     np.savez_compressed(path, **named)
 
 
-def load_episode(path: str, like: Episode | None = None) -> Episode:
+def load_episode(path: str, like: Episode | None = None, device: bool = True) -> Episode:
     """Load an episode saved by `save_episode`. The stored structure
     descriptor reconstructs any registered design family; `like` overrides it
-    as a structural template (also the only path for pre-descriptor files)."""
+    as a structural template (also the only path for pre-descriptor files).
+
+    ``device=False`` keeps leaves as host numpy arrays — bulk loaders should
+    use it and upload once (per-leaf jnp.asarray over hundreds of episodes
+    is hundreds of small host->device transfers).
+    """
     import json
 
     if path.endswith(".wbin"):
@@ -349,6 +354,7 @@ def load_episode(path: str, like: Episode | None = None) -> Episode:
             raise IOError("native episode store unavailable (no g++?)")
     else:
         data = np.load(path)
+    as_arr = jnp.asarray if device else np.asarray
     if like is None:
         if _STRUCT_KEY not in data:
             raise ValueError(
@@ -358,9 +364,28 @@ def load_episode(path: str, like: Episode | None = None) -> Episode:
         desc = json.loads(
             bytes(np.asarray(data[_STRUCT_KEY]).astype(np.uint8)).decode()
         )
-        return decode_structure(desc, lambda k: jnp.asarray(data[k]))
+        return decode_structure(desc, lambda k: as_arr(data[k]))
     leaves, treedef = jax.tree_util.tree_flatten(like)
     named = _flatten_named(like)
     keys = list(named.keys())
-    new_leaves = [jnp.asarray(data[k]) for k in keys]
+    new_leaves = [as_arr(data[k]) for k in keys]
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def prepare_dataset(episodes: list[Episode], horizon: int) -> dict:
+    """Window a homogeneous list of episodes into one training dict in ONE
+    device program: stack on host, upload once, vmapped `prepare_data`,
+    flatten (E, S, ...) -> (E*S, ...). Replaces per-episode prepare+concat
+    (2 small dispatches per device op per episode — minutes of pure dispatch
+    latency at 500 episodes)."""
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *episodes)
+    stacked = jax.device_put(stacked)
+
+    @jax.jit
+    def prep(eps):
+        data = jax.vmap(lambda ep: prepare_data(ep, horizon))(eps)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), data
+        )
+
+    return prep(stacked)

@@ -12,6 +12,8 @@ from dataclasses import dataclass
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..data import dataloader
@@ -55,6 +57,51 @@ def make_train_step(loss_fn: Callable, opt) -> Callable:
     return step
 
 
+def make_scan_train_steps(loss_fn: Callable, opt) -> Callable:
+    """K micro-steps per device dispatch: the dataset stays device-resident
+    and minibatch gathering happens INSIDE the program, so one dispatch runs
+    `lax.scan` over K (gather -> fwd+bwd -> optimizer) iterations with zero
+    host syncs. This is the TPU-native fix for the per-minibatch dispatch +
+    `float(loss)` round-trips the reference's loop shape implies
+    (`scripts/main.jl:72-91`): ~30 ms tunnel latency per dispatch makes the
+    naive loop host-bound at small batch sizes.
+
+    Returns jitted run(params, opt_state, data, idxs) with idxs (K, B) int32
+    -> (params, opt_state, losses (K,)).
+    """
+
+    @jax.jit
+    def run(params, opt_state, data, idxs):
+        def body(carry, idx):
+            p, o = carry
+            batch = jax.tree_util.tree_map(lambda x: x[idx], data)
+            loss, grads = jax.value_and_grad(loss_fn)(p, batch)
+            updates, o = opt.update(grads, o, p)
+            p = optax.apply_updates(p, updates)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), idxs)
+        return params, opt_state, losses
+
+    return run
+
+
+def make_scan_eval(loss_fn: Callable) -> Callable:
+    """Jitted mean loss over (K, B)-indexed minibatches of a device-resident
+    dataset — one dispatch per validation pass."""
+
+    @jax.jit
+    def run(params, data, idxs):
+        def body(_, idx):
+            batch = jax.tree_util.tree_map(lambda x: x[idx], data)
+            return None, loss_fn(params, batch)
+
+        _, losses = jax.lax.scan(body, None, idxs)
+        return jnp.mean(losses)
+
+    return run
+
+
 def make_eval_step(loss_fn: Callable) -> Callable:
     return jax.jit(loss_fn)
 
@@ -90,6 +137,8 @@ def train(
     timer = Timer()
     opt = make_optimizer(config)
     opt_state = opt.init(params)
+    key = jax.random.PRNGKey(config.seed)
+
     if mesh is not None:
         from ..parallel import make_dp_train_step, shard_batch
 
@@ -98,51 +147,96 @@ def train(
         )
         dp_step = make_dp_train_step(loss_fn, opt, mesh, axis_name="data")
         step_fn = lambda p, o, b: dp_step(p, o, shard_batch(b, mesh, "data"))
-    else:
-        step_fn = make_train_step(loss_fn, opt)
-    eval_fn = make_eval_step(loss_fn)
+        eval_fn = make_eval_step(loss_fn)
+        micro_step = 0
+        train_loss_acc = []
 
-    key = jax.random.PRNGKey(config.seed)
-    micro_step = 0
-    train_loss_acc = []
+        for epoch in range(config.epochs):
+            key, k_shuffle = jax.random.split(key)
+            for batch in dataloader(train_data, config.batch_size, k_shuffle):
+                with timer("train_step"):
+                    params, opt_state, loss = step_fn(params, opt_state, batch)
+                    loss = float(loss)
+                train_loss_acc.append(loss)
+                micro_step += 1
 
-    for epoch in range(config.epochs):
-        key, k_shuffle = jax.random.split(key)
-        for batch in dataloader(train_data, config.batch_size, k_shuffle):
-            with timer("train_step"):
-                params, opt_state, loss = step_fn(params, opt_state, batch)
-                loss = float(loss)
-            train_loss_acc.append(loss)
-            micro_step += 1
-
-            updates_done = micro_step // config.accumulate
-            if (
-                micro_step % (config.val_every * config.accumulate) == 0
-            ):
-                key, k_val = jax.random.split(key)
-                with timer("validate"):
-                    val_loss = validate(
-                        eval_fn, params, val_data, config.batch_size, k_val,
-                        config.val_batches,
+                updates_done = micro_step // config.accumulate
+                if micro_step % (config.val_every * config.accumulate) == 0:
+                    key, k_val = jax.random.split(key)
+                    with timer("validate"):
+                        val_loss = validate(
+                            eval_fn, params, val_data, config.batch_size, k_val,
+                            config.val_batches,
+                        )
+                    train_loss = sum(train_loss_acc) / len(train_loss_acc)
+                    train_loss_acc = []
+                    logger.log(
+                        step=updates_done, epoch=epoch, train_loss=train_loss,
+                        val_loss=val_loss, step_time=timer.mean("train_step"),
                     )
-                train_loss = sum(train_loss_acc) / len(train_loss_acc)
-                train_loss_acc = []
-                rec = logger.log(
-                    step=updates_done,
-                    epoch=epoch,
-                    train_loss=train_loss,
-                    val_loss=val_loss,
-                    step_time=timer.mean("train_step"),
-                )
-                print(
-                    f"Step: {updates_done}, Train Loss: {train_loss:.6g}, "
-                    f"Val Loss: {val_loss:.6g}"
-                )
-                if config.checkpoint_dir:
-                    path = f"{config.checkpoint_dir}/checkpoint_step={updates_done}"
-                    with timer("checkpoint"):
-                        save_checkpoint(path, params, opt_state, updates_done)
-                    if on_checkpoint is not None:
-                        on_checkpoint(path, params)
+                    print(
+                        f"Step: {updates_done}, Train Loss: {train_loss:.6g}, "
+                        f"Val Loss: {val_loss:.6g}", flush=True,
+                    )
+                    if config.checkpoint_dir:
+                        path = f"{config.checkpoint_dir}/checkpoint_step={updates_done}"
+                        with timer("checkpoint"):
+                            save_checkpoint(path, params, opt_state, updates_done)
+                        if on_checkpoint is not None:
+                            on_checkpoint(path, params)
+        return params, opt_state, logger
+
+    # single-device path: scan K micro-steps per dispatch over the
+    # device-resident dataset (see make_scan_train_steps)
+    run_k = make_scan_train_steps(loss_fn, opt)
+    eval_k = make_scan_eval(loss_fn)
+    B = config.batch_size
+    K = config.val_every * config.accumulate  # micro-steps between validations
+    n_train = train_data["s_wave"].shape[0]
+    n_val = val_data["s_wave"].shape[0]
+    rng = np.random.default_rng(config.seed)
+
+    # flat queue of minibatch index rows, reshuffled per epoch, consumed in
+    # K-row chunks so validation cadence is exact across epoch boundaries
+    rows = []
+    epoch_of_row = []
+    for epoch in range(config.epochs):
+        perm = rng.permutation(n_train)
+        nb = n_train // B
+        rows.append(perm[: nb * B].reshape(nb, B))
+        epoch_of_row.extend([epoch] * nb)
+    rows = np.concatenate(rows, axis=0)
+
+    micro_step = 0
+    for start in range(0, rows.shape[0], K):
+        chunk = jnp.asarray(rows[start : start + K], dtype=jnp.int32)
+        with timer("train_chunk"):
+            params, opt_state, losses = run_k(params, opt_state, train_data, chunk)
+            train_loss = float(jnp.mean(losses))
+        micro_step += int(chunk.shape[0])
+        updates_done = micro_step // config.accumulate
+
+        nvb = min(config.val_batches, max(1, n_val // B))
+        val_idx = jnp.asarray(
+            rng.integers(0, n_val, size=(nvb, B)), dtype=jnp.int32
+        )
+        with timer("validate"):
+            val_loss = float(eval_k(params, val_data, val_idx))
+        epoch = epoch_of_row[min(start + chunk.shape[0] - 1, len(epoch_of_row) - 1)]
+        logger.log(
+            step=updates_done, epoch=epoch, train_loss=train_loss,
+            val_loss=val_loss,
+            step_time=timer.mean("train_chunk") / max(1, K / config.accumulate),
+        )
+        print(
+            f"Step: {updates_done}, Train Loss: {train_loss:.6g}, "
+            f"Val Loss: {val_loss:.6g}", flush=True,
+        )
+        if config.checkpoint_dir:
+            path = f"{config.checkpoint_dir}/checkpoint_step={updates_done}"
+            with timer("checkpoint"):
+                save_checkpoint(path, params, opt_state, updates_done)
+            if on_checkpoint is not None:
+                on_checkpoint(path, params)
 
     return params, opt_state, logger
