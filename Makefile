@@ -1,12 +1,15 @@
 # waves_jl_tpu developer targets
 
-.PHONY: test test-fast bench native clean-native dryrun
+.PHONY: test test-fast test-tpu bench native clean-native dryrun
 
 test:
 	python -m pytest tests/ -q
 
 test-fast:
 	python -m pytest tests/test_core.py tests/test_operators.py tests/test_designs.py -q
+
+test-tpu:  # hardware kernel-parity tier (serializes on the one chip)
+	python -m pytest tests_tpu/ -q
 
 bench:
 	python bench.py

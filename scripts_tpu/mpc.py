@@ -19,6 +19,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 import waves_jl_tpu as w
@@ -66,6 +67,8 @@ def main():
     p.add_argument("--data", required=True)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--episodes", type=int, default=4)
+    p.add_argument("--locations", type=int, default=5,
+                   help="fixed source y-locations (reference scripts/test.jl)")
     p.add_argument("--horizon", type=int, default=5)
     p.add_argument("--shots", type=int, default=256)
     p.add_argument("--alpha", type=float, default=1.0)
@@ -101,34 +104,74 @@ def main():
     else:
         mpc = GradientShooting(model=model, horizon=args.horizon,
                                shots=max(8, args.shots // 8), alpha=args.alpha)
-    mpc_jit = jax.jit(lambda pm, s, k: mpc(pm, env, s, k))
     policy = RandomDesignPolicy(env.action_space)
-    from waves_jl_tpu.physics.fused import make_env_step_fused
 
-    fused_step = make_env_step_fused(env)
+    # whole-episode fused programs: one dispatch per episode for both the
+    # MPC controller (observe -> shots-batch surrogate -> argmin -> Pallas
+    # window, scanned over actions) and the random baseline
+    from waves_jl_tpu.control import make_mpc_episode_fused
+    from waves_jl_tpu.data import make_episode_fused
 
-    decreases = []
-    for ep in range(args.episodes):
-        key = jax.random.PRNGKey(args.seed + ep)
-        reset_state = env_reset(env, key)
+    run_mpc = make_mpc_episode_fused(env, model, mpc)
+    run_rnd = make_episode_fused(env)
 
-        mpc_sig = run_episode(
-            env, lambda s, k: mpc_jit(params, s, k)[0], reset_state, key,
-            step=fused_step,
+    import dataclasses
+    import time as _time
+
+    def fixed_source_state(key, y_pos):
+        """Reset with the source pinned at (-10, y_pos) — the reference
+        protocol evaluates 5 fixed source locations x `episodes` resets
+        (`scripts/test.jl:8-18`, source line x=-10, y in [-10, 10])."""
+        state = env_reset(env, key)
+        mu = jnp.array([[-10.0, float(y_pos)]], jnp.float32)
+        src = state.source
+        src = dataclasses.replace(
+            src, mu_low=mu, mu_high=mu,
+            shape=w.build_normal(src.grid, mu, src.sigma, src.a),
         )
-        rnd_sig = run_episode(env, lambda s, k: policy(k), reset_state, key,
-                              step=fused_step)
+        return dataclasses.replace(state, source=src)
 
-        m, r = scattered_tail_mean(mpc_sig), scattered_tail_mean(rnd_sig)
+    locations = np.linspace(-10.0, 10.0, args.locations) if args.locations > 1 else [0.0]
+    per_location = []
+    episode_times = []
+    for li, y_pos in enumerate(locations):
+        mpc_tails, rnd_tails = [], []
+        for ep in range(args.episodes):
+            key = jax.random.PRNGKey(args.seed + 1000 * li + ep)
+            state = fixed_source_state(key, y_pos)
+            k_mpc, k_rnd = jax.random.split(jax.random.PRNGKey(args.seed + 7 * ep + li))
+
+            t0 = _time.time()
+            _, mpc_sig, _ = run_mpc(params, state, k_mpc)
+            mpc_sig = np.asarray(mpc_sig)
+            el = _time.time() - t0
+            episode_times.append(el)
+
+            akeys = jax.random.split(k_rnd, env.actions)
+            actions = jax.vmap(policy)(akeys)
+            _, rnd_ep = run_rnd(state, actions)
+            rnd_sig = np.asarray(rnd_ep.y)
+
+            m, r = scattered_tail_mean(mpc_sig), scattered_tail_mean(rnd_sig)
+            mpc_tails.append(m)
+            rnd_tails.append(r)
+            print(f"loc {li + 1} ep {ep + 1}: mpc={m:.4g} random={r:.4g} "
+                  f"({el:.2f}s/episode)", flush=True)
+        m, r = float(np.mean(mpc_tails)), float(np.mean(rnd_tails))
         dec = (r - m) / r if r > 0 else 0.0
-        decreases.append(dec)
-        print(f"episode {ep + 1}: mpc={m:.4g} random={r:.4g} decrease={dec:.1%}",
-              flush=True)
+        per_location.append(dec)
+        print(f"location {li + 1} (y={y_pos:+.1f}): decrease={dec:.1%}", flush=True)
 
     result = {
-        "percentage_decrease": decreases,
-        "mean_decrease": float(np.mean(decreases)),
+        "percentage_decrease": per_location,
+        "mean_decrease": float(np.mean(per_location)),
         "controller": args.controller,
+        "protocol": f"{args.locations} locations x {args.episodes} episodes, "
+                    f"tail-mean scattered energy (scripts/test.jl)",
+        "mpc_episode_seconds": {
+            "first": episode_times[0] if episode_times else None,
+            "warm_mean": float(np.mean(episode_times[1:])) if len(episode_times) > 1 else None,
+        },
     }
     print(json.dumps(result))
     with open("mpc_results.json", "w") as f:
@@ -137,6 +180,7 @@ def main():
     if args.render:
         from waves_jl_tpu.viz.episode import render_episode
 
+        mpc_jit = jax.jit(lambda pm, s, k: mpc(pm, env, s, k))
         key = jax.random.PRNGKey(args.seed)
         render_episode(
             env, lambda k, s: mpc_jit(params, s, k)[0], key,

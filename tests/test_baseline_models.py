@@ -100,3 +100,20 @@ def test_pinn_model(data):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_pinn_acceptance_smoke(tmp_path, monkeypatch):
+    """Tiny run of the SimpleWave standalone-PINN acceptance recipe
+    (reference `test/pinn.jl`): losses finite and decreasing."""
+    import sys
+
+    import scripts_tpu.pinn_acceptance as pa
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["pinn_acceptance", "--out", str(tmp_path), "--elements", "64",
+         "--steps", "20", "--h-size", "16", "--depth", "3", "--iters", "40",
+         "--chunk", "20"],
+    )
+    rel_err = pa.main()
+    assert np.isfinite(rel_err)

@@ -103,3 +103,50 @@ def test_episode_chunk_fused_matches_xla():
     np.testing.assert_allclose(
         np.asarray(ep.s_tspan), np.asarray(ep_ref.s_tspan), rtol=1e-6
     )
+
+
+def test_radii_only_fast_path_exact():
+    """Owner-selection rasterization == general per-cylinder accumulation
+    to ulp level (disjoint circles => unique owner; the per-pixel lerp may
+    FMA-contract where the scalar lerp rounds, so ~1e-7 relative, far below
+    the O(1) signature of a mask flip)."""
+    from waves_jl_tpu.ops.pallas_fd import (
+        make_fused_acoustic_step,
+        pad_state,
+        padded_dims,
+    )
+    from waves_jl_tpu.physics.fused import cyl_params, pad_profiles, radii_only_ok
+
+    env = _env(n=96, steps=8, actions=1)
+    assert radii_only_ok(env.design_space)
+    n = 96
+    spacing = 2.0 * 15.0 / (n - 1)
+    kw = dict(
+        n=n, spacing=spacing, dt=1e-5, c0=float(w.WATER), freq=1000.0,
+        n_cyl=19, x_min=-15.0, interpret=True, steps_per_call=1,
+    )
+    step_gen = make_fused_acoustic_step(radii_only=False, **kw)
+    step_fast = make_fused_acoustic_step(radii_only=True, **kw)
+
+    key = jax.random.PRNGKey(3)
+    d1 = env.design_space.sample(key)
+    d2 = env.design_space.sample(jax.random.PRNGKey(4))
+    cyl = cyl_params(d1, d2)
+    state = env_reset(env, key)
+    u = pad_state(
+        jax.random.normal(key, (12, n, n), jnp.float32) * 1e-3, 48
+    )
+    shape_pad = pad_state(state.source.shape[None], 48)[0]
+    prof_x, prof_y = pad_profiles(env.integrator.dynamics.pml, n, 48)
+    scalars = jnp.array([2e-4, 0.0, 1e-3, 0.0], jnp.float32)  # mid-window w
+
+    u1, e1 = step_gen(u_pad=u, shape_pad=shape_pad, prof_x=prof_x,
+                      prof_y=prof_y, scalars=scalars, cyl=cyl)
+    u2, e2 = step_fast(u_pad=u, shape_pad=shape_pad, prof_x=prof_x,
+                       prof_y=prof_y, scalars=scalars, cyl=cyl)
+    np.testing.assert_allclose(
+        np.asarray(u1), np.asarray(u2), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(e1), np.asarray(e2), rtol=1e-5, atol=1e-9
+    )

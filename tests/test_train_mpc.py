@@ -121,3 +121,18 @@ def test_action_cost():
     cost = compute_action_cost(actions)
     assert cost.shape == (3,)
     assert (np.asarray(cost) > 0).all()
+
+
+def test_mpc_episode_fused(setup):
+    """Whole-episode fused MPC program: runs, finite, costs are argmins."""
+    from waves_jl_tpu.control import make_mpc_episode_fused
+
+    env, data, model, params = setup
+    mpc = RandomShooting(model=model, horizon=2, shots=4, alpha=1.0)
+    run = make_mpc_episode_fused(env, model, mpc, interpret=True)
+    state = env_reset(env, jax.random.PRNGKey(3))
+    final, signals, costs = run(params, state, jax.random.PRNGKey(4))
+    assert signals.shape == (env.actions, STEPS + 1, 3)
+    assert costs.shape == (env.actions,)
+    assert np.isfinite(np.asarray(signals)).all()
+    assert int(final.time_step) == env.actions * STEPS

@@ -72,6 +72,37 @@ class RandomShooting:
         return first, {"cost": cost, "idx": idx}
 
 
+def make_mpc_episode_fused(env: WaveEnv, model, mpc: "RandomShooting",
+                           tile_interior: int = 48, interpret: bool = False):
+    """Whole MPC episode in ONE device program (the BASELINE north-star
+    quantity: full 20-action x 100-step episode through the surrogate
+    controller): `lax.scan` over actions, each iteration running observe ->
+    `shots`-sequence surrogate evaluation -> argmin -> the fused Pallas env
+    window. Eliminates the 2(+) tunnel dispatches per action (~30 ms each)
+    of the step-at-a-time loop (reference loop shape `scripts/mpc.jl:129-143`).
+
+    Returns run(params, state, key) -> (final_state, signals (A, T+1, 3),
+    chosen_costs (A,)).
+    """
+    from ..physics.fused import make_env_step_fused
+
+    step = make_env_step_fused(env, tile_interior, interpret, jit=False)
+
+    @jax.jit
+    def run(params, state: EnvState, key: jax.Array):
+        def body(carry, k):
+            st = carry
+            a, info = mpc(params, env, st, k)
+            st2, _ = step(st, a)
+            return st2, (st2.signal, info["cost"][info["idx"]])
+
+        keys = jax.random.split(key, env.actions)
+        final, (signals, costs) = jax.lax.scan(body, state, keys)
+        return final, signals, costs
+
+    return run
+
+
 @dataclass(frozen=True)
 class OracleShooting:
     """Random shooting against the TRUE simulator instead of a surrogate —

@@ -98,6 +98,8 @@ def make_fused_acoustic_step(
     steps_per_call: int = 1,
     ny_local: int | None = None,
     y_ghost: int = 0,
+    radii_only: bool = False,
+    x_matmul: bool = False,
 ):
     """Build the fused RK4 step.
 
@@ -119,6 +121,20 @@ def make_fused_acoustic_step(
     steps_per_call). The one-sided y stencils then apply only at the TRUE
     domain columns (global index 0 / n-1); interior seams use the halo data
     via central differences. n stays the GLOBAL grid size.
+
+    `radii_only=True` enables the static-geometry rasterization fast path:
+    valid ONLY when cylinder positions and speeds are constant across the
+    window (p1==p2, c1==c2 — AdjustableRadiiScatterers / Cloak) AND circles
+    at their maximum radii are pairwise disjoint (the triple-ring space is;
+    the caller must check). Each pixel is then covered by at most one
+    cylinder for every lerp weight w, so the per-stage 19-cylinder
+    mask-accumulate (the kernel's largest VPU cost after the stencils)
+    collapses to a single owner-cylinder test: per-pixel fields
+    (d2, r1, dr, c1, dc) of the owning cylinder are selected once per call,
+    and each stage evaluates m = d2 < (r1+w*dr)^2 — the same expressions as
+    the general path's per-cylinder test. Agreement is ulp-level (~1e-7:
+    the per-pixel lerp may FMA-contract where the scalar lerp rounds); a
+    mask flip would need d2 within one ulp of the circle boundary.
     """
     if ny_local is None:
         ny_local = n
@@ -131,7 +147,7 @@ def make_fused_acoustic_step(
     assert y_ghost == 0 or y_ghost >= HALO * steps_per_call, (y_ghost, steps_per_call)
 
     def kernel(scalars, cyl, u_hbm, shape_ref, profx_ref, profy_ref,
-               out_hbm, e_ref, u_scr, o_scr, csum_scr, inside_scr,
+               out_hbm, e_ref, u_scr, o_scr, ras_scr,
                sem_in, sem_out):
         i = pl.program_id(0)
         row0 = i * tile_interior  # padded-row offset of this tile's DMA
@@ -182,12 +198,13 @@ def make_fused_acoustic_step(
             xj_hi = jnp.maximum(cyl[0, j], cyl[4, j]) + r_max
             intersects.append((xj_hi >= x_t0) & (xj_lo <= x_t1))
 
-        def rasterize(w, csum_ref, inside_ref):
+        def rasterize(w, ras_ref):
             """Lerped-cylinder wavespeed field at lerp weight w; accumulates
-            in VMEM scratch so non-intersecting cylinders are skipped via
-            predicated execution."""
-            csum_ref[:, :] = jnp.zeros((rows, py), jnp.float32)
-            inside_ref[:, :] = jnp.zeros((rows, py), jnp.float32)
+            in VMEM scratch (csum = ras[0], inside = ras[1]) so
+            non-intersecting cylinders are skipped via predicated
+            execution."""
+            ras_ref[0] = jnp.zeros((rows, py), jnp.float32)
+            ras_ref[1] = jnp.zeros((rows, py), jnp.float32)
             for j in range(n_cyl):
                 @pl.when(intersects[j])
                 def _():
@@ -197,15 +214,83 @@ def make_fused_acoustic_step(
                     cj = cyl[3, j] + w * (cyl[7, j] - cyl[3, j])
                     d2 = (x_coord - pxj) ** 2 + (y_coord - pyj) ** 2
                     m = (d2 < rj * rj).astype(jnp.float32)
-                    csum_ref[:, :] = csum_ref[:, :] + m * cj
-                    inside_ref[:, :] = inside_ref[:, :] + m
-            return jnp.where(inside_ref[:, :] == 0.0, jnp.float32(c0), csum_ref[:, :])
+                    ras_ref[0] = ras_ref[0] + m * cj
+                    ras_ref[1] = ras_ref[1] + m
+            return jnp.where(ras_ref[1] == 0.0, jnp.float32(c0), ras_ref[0])
+
+        def select_owner(ras_ref):
+            """radii_only precompute (once per call): per-pixel fields of the
+            owning cylinder — the unique one that can cover the pixel at any
+            lerp weight, which exists because max-radius circles are
+            pairwise disjoint. ras rows: [best_gap, d2, r1, dr, c1, dc]."""
+            big = jnp.full((rows, py), 1e30, jnp.float32)
+            ras_ref[0] = big  # best gap
+            ras_ref[1] = big  # d2 (mask never true by default)
+            for k in range(2, 6):
+                ras_ref[k] = jnp.zeros((rows, py), jnp.float32)
+            for j in range(n_cyl):
+                @pl.when(intersects[j])
+                def _():
+                    d2 = (x_coord - cyl[0, j]) ** 2 + (y_coord - cyl[1, j]) ** 2
+                    rmax = jnp.maximum(cyl[2, j], cyl[6, j])
+                    gap = d2 - rmax * rmax
+                    upd = gap < ras_ref[0]
+                    ras_ref[0] = jnp.where(upd, gap, ras_ref[0])
+                    ras_ref[1] = jnp.where(upd, d2, ras_ref[1])
+                    ras_ref[2] = jnp.where(upd, cyl[2, j], ras_ref[2])
+                    ras_ref[3] = jnp.where(upd, cyl[6, j] - cyl[2, j], ras_ref[3])
+                    ras_ref[4] = jnp.where(upd, cyl[3, j], ras_ref[4])
+                    ras_ref[5] = jnp.where(upd, cyl[7, j] - cyl[3, j], ras_ref[5])
+
+        def rasterize_fast(w, ras_ref):
+            """Per-stage owner test: same lerp/compare expressions as the
+            general path's per-cylinder mask (ulp-level agreement)."""
+            r = ras_ref[2] + w * ras_ref[3]
+            m = ras_ref[1] < r * r
+            return jnp.where(m, ras_ref[4] + w * ras_ref[5], jnp.float32(c0))
+
+        if x_matmul:
+            # d/dx as a (rows, rows) stencil-matrix matmul on the MXU,
+            # which otherwise idles in this kernel (VPU-bound). Central
+            # rows are exact (two nonzero coefficients; adding exact zeros
+            # is exact); the 2 one-sided boundary rows agree to 1 ulp.
+            ii = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+            g = gx_row  # (rows, 1) global row of each LOCAL row
+            D = jnp.where(jj == ii + 1, 1.0, 0.0) + jnp.where(jj == ii - 1, -1.0, 0.0)
+            at0 = g == 0
+            atn = g == n - 1
+            D = jnp.where(at0, 0.0, D)
+            D = jnp.where(at0 & (jj == ii), -3.0, D)
+            D = jnp.where(at0 & (jj == ii + 1), 4.0, D)
+            D = jnp.where(at0 & (jj == ii + 2), -1.0, D)
+            D = jnp.where(atn, 0.0, D)
+            D = jnp.where(atn & (jj == ii), 3.0, D)
+            D = jnp.where(atn & (jj == ii - 1), -4.0, D)
+            D = jnp.where(atn & (jj == ii - 2), 1.0, D)
+
+            Db = D.astype(jnp.bfloat16)
+
+            def ddx(u_):
+                # D's entries are small integers — exactly bf16 — so only u
+                # needs splitting. Two passes capture 16 mantissa bits of u
+                # (residual ~2^-17 per derivative); Mosaic's only native
+                # options are 1-pass bf16 (too lossy: 1e-3/window) and
+                # 6-pass HIGHEST (blows the 16 MB scoped-VMEM budget).
+                u_hi = u_.astype(jnp.bfloat16)
+                u_lo = (u_ - u_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                d = jax.lax.dot(Db, u_hi, preferred_element_type=jnp.float32)
+                d = d + jax.lax.dot(Db, u_lo, preferred_element_type=jnp.float32)
+                return d * inv2d
+        else:
+            def ddx(u_):
+                return _dx_edge_aware(u_, gx_row, n, inv2d)
 
         def stack_rhs(U, Vx, Vy, Px, Py, Om, b, f):
-            Vxx = _dx_edge_aware(Vx, gx_row, n, inv2d)
+            Vxx = ddx(Vx)
             Vyy = _dy_edge_aware(Vy, gy_col, n, inv2d)
             Uf = U + f
-            Ux = _dx_edge_aware(Uf, gx_row, n, inv2d)
+            Ux = ddx(Uf)
             Uy = _dy_edge_aware(Uf, gy_col, n, inv2d)
             dU = b * (Vxx + Vyy) + Px + Py - (sx + sy) * U - Om
             dVx = Ux - sx * Vx
@@ -215,9 +300,9 @@ def make_fused_acoustic_step(
             dOm = sx * sy * U
             return [bc * dU, dVx, dVy, dPx, dPy, dOm]
 
-        def rhs(u, ts, csum_ref, inside_ref):
+        def rhs(u, ts, ras_ref):
             w = (jnp.clip(ts, ti, tf) - ti) / denom
-            c = rasterize(w, csum_ref, inside_ref)
+            c = rasterize_fast(w, ras_ref) if radii_only else rasterize(w, ras_ref)
             f = f_shape * jnp.sin(2.0 * jnp.pi * ts * jnp.float32(freq))
             d_tot = stack_rhs(u[0], u[1], u[2], u[3], u[4], u[5], c * c, f)
             d_inc = stack_rhs(
@@ -226,8 +311,16 @@ def make_fused_acoustic_step(
             )
             return d_tot + d_inc
 
+        if radii_only:
+            select_owner(ras_scr)
+
         cp_in.wait()
-        u = [u_scr[ch] for ch in range(12)]
+        # zero the x-ghost rows on load: they are never written to HBM, so
+        # they hold uninitialized garbage between calls. The stencil forms
+        # contain it (selects / discarded rows), but the x_matmul path's dot
+        # products would propagate a ghost NaN via 0*NaN into interior rows.
+        row_ok = (gx_row >= 0) & (gx_row < n)
+        u = [jnp.where(row_ok, u_scr[ch], 0.0) for ch in range(12)]
 
         owned = (
             valid
@@ -238,14 +331,17 @@ def make_fused_acoustic_step(
         )
         sixth = fdt / 6.0
         for st in range(steps_per_call):
+            # closed-form RK4 combine: an incremental accumulation variant
+            # (acc = k1+2k2; acc += 2k3; ...) was measured 24% slower on
+            # Mosaic despite the smaller live set — keep this form
             ts0 = t + st * fdt
-            k1 = rhs(u, ts0, csum_scr, inside_scr)
+            k1 = rhs(u, ts0, ras_scr)
             k2 = rhs([a + (0.5 * fdt) * b_ for a, b_ in zip(u, k1)],
-                     ts0 + 0.5 * fdt, csum_scr, inside_scr)
+                     ts0 + 0.5 * fdt, ras_scr)
             k3 = rhs([a + (0.5 * fdt) * b_ for a, b_ in zip(u, k2)],
-                     ts0 + 0.5 * fdt, csum_scr, inside_scr)
+                     ts0 + 0.5 * fdt, ras_scr)
             k4 = rhs([a + fdt * b_ for a, b_ in zip(u, k3)],
-                     ts0 + fdt, csum_scr, inside_scr)
+                     ts0 + fdt, ras_scr)
             u = [
                 a + sixth * (x1 + 2.0 * x2 + 2.0 * x3 + x4)
                 for a, x1, x2, x3, x4 in zip(u, k1, k2, k3, k4)
@@ -263,8 +359,10 @@ def make_fused_acoustic_step(
             e_ref[i, 4 * st + 2] = jnp.sum(sc * sc)
             e_ref[i, 4 * st + 3] = 0.0
 
+        # separate output scratch: writing back into u_scr was measured 26%
+        # slower — it forces the next tile's input DMA to serialize against
+        # this tile's output DMA instead of overlapping
         u_new = [x * fvalid for x in u]
-
         for ch in range(12):
             o_scr[ch] = u_new[ch]
         cp_out = pltpu.make_async_copy(
@@ -292,10 +390,11 @@ def make_fused_acoustic_step(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((12, rows, py), jnp.float32),
-            pltpu.VMEM((12, rows, py), jnp.float32),
-            pltpu.VMEM((rows, py), jnp.float32),  # rasterize csum
-            pltpu.VMEM((rows, py), jnp.float32),  # rasterize inside
+            pltpu.VMEM((12, rows, py), jnp.float32),  # state in
+            pltpu.VMEM((12, rows, py), jnp.float32),  # state out
+            # rasterization scratch: [csum, inside] general mode,
+            # [best_gap, d2, r1, dr, c1, dc] radii_only mode
+            pltpu.VMEM((6 if radii_only else 2, rows, py), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -311,6 +410,10 @@ def make_fused_acoustic_step(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # do NOT raise vmem_limit_bytes: lifting the 16 MB scoped cap to
+            # 100 MB let tiles >=64 compile but cost ~24% at tile 48 too
+            # (Mosaic allocates past physical VMEM and spills), and the
+            # larger tiles measured slower than 48 anyway
         ),
     )
 

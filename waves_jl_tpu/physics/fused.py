@@ -44,6 +44,26 @@ def cyl_params(d1, d2) -> jax.Array:
     )
 
 
+def radii_only_ok(space) -> bool:
+    """True when the kernel's radii-only rasterization fast path is exact
+    for every design reachable in `space`: cylinder positions and speeds are
+    fixed (only radii actionable) and the circles at their maximum radii are
+    pairwise disjoint (each pixel has a unique owning cylinder). Holds for
+    the reference triple-ring cloak (`src/designs.jl:353-365`)."""
+    lo = design_cylinders(space.low)
+    hi = design_cylinders(space.high)
+    if lo is None:
+        return False  # nothing to rasterize; general path is free anyway
+    pos_lo, pos_hi = np.asarray(lo.pos), np.asarray(hi.pos)
+    if not (np.array_equal(pos_lo, pos_hi) and np.array_equal(np.asarray(lo.c), np.asarray(hi.c))):
+        return False
+    rmax = np.asarray(hi.r)
+    d = np.sqrt(((pos_lo[:, None, :] - pos_lo[None, :, :]) ** 2).sum(-1))
+    sep = rmax[:, None] + rmax[None, :]
+    iu = np.triu_indices(len(rmax), k=1)
+    return bool((d[iu] > sep[iu]).all())
+
+
 def pad_profiles(pml2d: jax.Array, n: int, tile_interior: int):
     """1D sigma profiles over padded x rows / y lanes from the 2D pml
     (which varies along x only; sigma_y is its transpose)."""
@@ -80,6 +100,10 @@ def make_fused_window(env: WaveEnv, tile_interior: int = 48, interpret: bool = F
         n=n, spacing=spacing, dt=env.dt, c0=float(env.c0), freq=freq,
         n_cyl=n_cyl, x_min=x_min, tile_interior=tile_interior,
         interpret=interpret, steps_per_call=spc,
+        radii_only=radii_only_ok(env.design_space),
+        # x-derivatives on the otherwise-idle MXU (+18%, parity 2e-6/window
+        # via the 2-pass bf16 split — see PERF_NOTES.md)
+        x_matmul=True,
     )
     d_omega = spacing * spacing
     assert all(seg % spc == 0 for seg in seg_lens), (seg_lens, spc)
