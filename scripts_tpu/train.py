@@ -36,13 +36,22 @@ from waves_jl_tpu.train import TrainConfig, train
 
 
 def load_dataset(data_dir: str, episodes: int, horizon: int, train_val_split: float = 0.9):
-    paths = sorted(
-        glob.glob(os.path.join(data_dir, "episodes", "episode*.npz"))
-        + glob.glob(os.path.join(data_dir, "episodes", "episode*.wbin")),
-        key=lambda p: int("".join(c for c in os.path.basename(p) if c.isdigit())),
-    )[:episodes]
-    assert paths, f"no episodes under {data_dir}"
-    eps = [load_episode(p, device=False) for p in paths]
+    shard = (
+        data_dir if data_dir.endswith(".wshard")
+        else os.path.join(data_dir, "data.wshard")
+    )
+    if os.path.exists(shard):
+        from waves_jl_tpu.data import load_episodes_shard
+
+        eps = load_episodes_shard(shard)[:episodes]
+    else:
+        paths = sorted(
+            glob.glob(os.path.join(data_dir, "episodes", "episode*.npz"))
+            + glob.glob(os.path.join(data_dir, "episodes", "episode*.wbin")),
+            key=lambda p: int("".join(c for c in os.path.basename(p) if c.isdigit())),
+        )[:episodes]
+        assert paths, f"no episodes under {data_dir}"
+        eps = [load_episode(p, device=False) for p in paths]
     idx = int(round(len(eps) * train_val_split))
     train_eps, val_eps = eps[:idx], eps[idx:] or eps[-1:]
     train_data = prepare_dataset(train_eps, horizon)

@@ -228,3 +228,34 @@ def test_rollout_grad_matches_finite_difference():
         zm = z0.at[i].add(-eps)
         fd = (float(loss(zp)) - float(loss(zm))) / (2 * eps)
         assert abs(fd - g[i]) <= 2e-3 * max(1.0, abs(fd)), (fd, g[i])
+
+
+def test_acoustic_3d_smoke():
+    """3D extension (beyond the reference, which declares ThreeDim but never
+    integrates it): free-field + point source stays finite, scattered field
+    is exactly zero when both stacks share the ambient speed, Dirichlet
+    edges hold, and PML absorbs (late energy < peak energy)."""
+    n = 48
+    dim = w.three_dim(5.0, n)
+    dyn = w.make_acoustic_dynamics_3d(dim, float(w.WATER), 1.0, 20000.0)
+    it = w.Integrator(dynamics=dyn, dt=1e-5)
+    grid = w.build_grid(dim)
+    d2 = ((grid - jnp.array([0.0, 0.0, 0.0])) ** 2).sum(-1)
+    shape = jnp.exp(-d2 / (2.0 * 0.3**2))
+
+    C = lambda t: jnp.float32(w.WATER)
+    F = lambda t: shape * jnp.sin(2.0 * jnp.pi * 1000.0 * t)
+    u0 = w.build_wave(dim, 16)
+    tspan = w.build_tspan(0.0, 1e-5, 120)
+    traj = jax.jit(lambda u: it(u, tspan, (C, F)))(u0)
+    assert traj.shape == (121, 16, n, n, n)
+    arr = np.asarray(traj)
+    assert np.isfinite(arr).all()
+    # scattered = total - incident == 0 when c == c0 everywhere
+    np.testing.assert_allclose(arr[:, 0], arr[:, 8], atol=1e-6)
+    # Dirichlet edges exactly zero on U
+    assert (arr[:, 0, 0, :, :] == 0).all() and (arr[:, 0, :, :, 0] == 0).all()
+    # energy rises then decays (PML absorbs once the wavefront reaches it)
+    e = (arr[:, 0] ** 2).sum(axis=(1, 2, 3))
+    assert e.max() > 0
+    assert e[-1] < 0.8 * e.max()

@@ -199,3 +199,23 @@ def test_save_load_all_design_families(tmp_path):
             jax.tree_util.tree_leaves(ep), jax.tree_util.tree_leaves(ep2)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_env_step_flux():
+    """Opt-in flux window signal (the reference defines flux but never wires
+    it): finite, zero before the wavefront reaches the masked region."""
+    from waves_jl_tpu.env import env_step_flux
+
+    env = _make_env()
+    state = env_reset(env, jax.random.PRNGKey(0))
+    action = RandomDesignPolicy(env.action_space)(jax.random.PRNGKey(1))
+    state2, info = jax.jit(
+        lambda s, a: env_step_flux(env, s, a, mask_radius=2.0)
+    )(state, action)
+    fl = np.asarray(info["flux"])
+    assert fl.shape == (env.integration_steps + 1,)
+    assert np.isfinite(fl).all()
+    assert fl[0] == 0.0  # zero initial state -> zero flux
+    np.testing.assert_allclose(
+        np.asarray(state2.signal), np.asarray(state2.signal)
+    )

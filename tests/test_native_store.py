@@ -54,3 +54,42 @@ def test_episode_wbin_roundtrip(tmp_path):
     )
     ep3 = load_episode(p, like=ep)
     np.testing.assert_array_equal(np.asarray(ep.y), np.asarray(ep3.y))
+
+
+def test_episode_shard_roundtrip(tmp_path):
+    """Streaming shard: N episodes in one file, exact round-trip."""
+    from waves_jl_tpu.data import (
+        generate_episode,
+        load_episodes_shard,
+        open_episodes_shard,
+    )
+    dim = w.two_dim(15.0, 48)
+    grid = w.build_grid(dim)
+    source = w.GaussianSource.create(
+        grid, jnp.array([[-10.0, -10.0]]), jnp.array([[-10.0, 10.0]]),
+        jnp.array([0.3]), jnp.array([1.0]), 1000.0,
+    )
+    env = make_wave_env(
+        dim, w.build_triple_ring_design_space(), source,
+        resolution=(16, 16), integration_steps=10, actions=2,
+    )
+    eps = [
+        generate_episode(env, RandomDesignPolicy(env.action_space),
+                         jax.random.PRNGKey(i))[1]
+        for i in range(3)
+    ]
+    p = str(tmp_path / "data.wshard")
+    try:
+        shard = open_episodes_shard(p)
+    except IOError:
+        pytest.skip("no native toolchain")
+    for ep in eps:
+        shard.append(ep)
+    shard.finish()
+
+    back = load_episodes_shard(p)
+    assert len(back) == 3
+    for a, b in zip(eps, back):
+        assert type(b.s_design) is type(a.s_design)
+        for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -136,3 +136,24 @@ def test_mpc_episode_fused(setup):
     assert costs.shape == (env.actions,)
     assert np.isfinite(np.asarray(signals)).all()
     assert int(final.time_step) == env.actions * STEPS
+
+
+def test_orbax_checkpoint_roundtrip(setup, tmp_path):
+    """Opt-in orbax backend: exact round-trip of params + opt_state + step."""
+    pytest.importorskip("orbax.checkpoint")
+    from waves_jl_tpu.train.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    env, data, model, params = setup
+    opt = make_optimizer(TrainConfig(accumulate=1))
+    opt_state = opt.init(params)
+    p = str(tmp_path / "ck")
+    save_checkpoint_orbax(p, params, opt_state, step=7)
+    p2, o2, step = load_checkpoint_orbax(p, params, opt_state)
+    assert step == 7
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(opt_state), jax.tree_util.tree_leaves(o2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

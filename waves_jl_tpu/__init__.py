@@ -34,11 +34,14 @@ from .utils.interp import LinearInterpolation, flatten_repeated_last_dim, linear
 from .physics.dynamics import (
     AcousticDynamics1D,
     AcousticDynamics2D,
+    AcousticDynamics3D,
     Integrator,
     acoustic_rhs_2d,
+    acoustic_rhs_3d,
     build_tspan,
     make_acoustic_dynamics_1d,
     make_acoustic_dynamics_2d,
+    make_acoustic_dynamics_3d,
     runge_kutta,
 )
 from .designs import (

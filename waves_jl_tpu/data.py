@@ -389,3 +389,62 @@ def prepare_dataset(episodes: list[Episode], horizon: int) -> dict:
         )
 
     return prep(stacked)
+
+
+def save_episodes_shard(path: str, episodes: list[Episode]):
+    """Stream a list of episodes into ONE native shard file (see
+    native/dataset_shard.cpp); structure descriptor embedded per episode."""
+    import json
+
+    from .native import ShardWriter
+
+    wtr = ShardWriter(path)
+    for ep in episodes:
+        named = _flatten_named(ep)
+        desc = json.dumps(encode_structure(ep)).encode()
+        named[_STRUCT_KEY] = np.frombuffer(desc, dtype=np.uint8).astype(np.float32)
+        wtr.append(named)
+    wtr.finish()
+
+
+def open_episodes_shard(path: str):
+    """Incremental shard writer for datagen pipelines: returns an object
+    with .append(episode) / .finish()."""
+    import json
+
+    from .native import ShardWriter
+
+    wtr = ShardWriter(path)
+
+    class _EpisodeShard:
+        def append(self, ep: Episode):
+            named = _flatten_named(ep)
+            desc = json.dumps(encode_structure(ep)).encode()
+            named[_STRUCT_KEY] = np.frombuffer(desc, dtype=np.uint8).astype(
+                np.float32
+            )
+            return wtr.append(named)
+
+        def finish(self):
+            wtr.finish()
+
+    return _EpisodeShard()
+
+
+def load_episodes_shard(path: str, device: bool = False) -> list[Episode]:
+    """Load every episode from a native shard (one mmap, zero-copy reads)."""
+    import json
+
+    from .native import load_shard
+
+    bundles = load_shard(path)
+    if bundles is None:
+        raise IOError("native shard store unavailable (no g++?)")
+    as_arr = jnp.asarray if device else np.asarray
+    out = []
+    for data in bundles:
+        desc = json.loads(
+            bytes(np.asarray(data[_STRUCT_KEY]).astype(np.uint8)).decode()
+        )
+        out.append(decode_structure(desc, lambda k: as_arr(data[k])))
+    return out

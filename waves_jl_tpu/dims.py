@@ -130,6 +130,17 @@ def build_dirichlet(dim) -> jax.Array:
         bc = bc.at[:, 0].set(0.0)
         bc = bc.at[:, -1].set(0.0)
         return bc
+    if isinstance(dim, ThreeDim):
+        # extension beyond the reference, which declares ThreeDim
+        # (`src/dims.jl:20-25`) but never integrates it
+        bc = jnp.ones(dim.shape, dtype=jnp.float32)
+        bc = bc.at[0].set(0.0)
+        bc = bc.at[-1].set(0.0)
+        bc = bc.at[:, 0].set(0.0)
+        bc = bc.at[:, -1].set(0.0)
+        bc = bc.at[:, :, 0].set(0.0)
+        bc = bc.at[:, :, -1].set(0.0)
+        return bc
     raise TypeError(f"unsupported dim type {type(dim)}")
 
 

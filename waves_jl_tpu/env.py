@@ -245,6 +245,31 @@ def env_step_full(env: WaveEnv, state: EnvState, action):
     return new_state, {"tspan": tspan, "u_tot": u_tot, "u_inc": u_inc, "interp": interp}
 
 
+def env_step_flux(env: WaveEnv, state: EnvState, action, mask_radius: float = 2.0):
+    """`env_step` variant that additionally emits the per-step FLUX of the
+    scattered field through a circular region (info["flux"], (steps+1,)).
+
+    The reference defines `flux` (`src/metrics.jl:31-33`) but never wires it
+    into any signal; this closes that gap as an opt-in window signal without
+    changing the (steps+1, 3) energy-signal contract that episodes, models
+    and training consume.
+    """
+    from .ops.fd import laplacian_matrix
+    from .ops.metrics import circle_mask
+
+    lap = laplacian_matrix(env.dim.x)
+    mask = circle_mask(env.dim, mask_radius).astype(jnp.float32)
+    new_state, info = env_step_full(env, state, action)
+    u_sc = info["u_tot"] - info["u_inc"]  # (T+1, nx, ny)
+
+    def one(u):
+        f = lap @ u + (lap @ u.T).T
+        return jnp.sum(f * mask)
+
+    info["flux"] = jax.vmap(one)(u_sc)
+    return new_state, info
+
+
 def env_observe(env: WaveEnv, state: EnvState) -> WaveEnvState:
     """Observation: 3 displacement frames + source shape resized to
     `resolution`, channels-last (reference `RLBase.state`,

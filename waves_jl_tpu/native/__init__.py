@@ -1,1 +1,8 @@
-from .store import NATIVE_AVAILABLE, load_bundle, save_bundle
+from .store import (
+    NATIVE_AVAILABLE,
+    SHARD_AVAILABLE,
+    ShardWriter,
+    load_bundle,
+    load_shard,
+    save_bundle,
+)

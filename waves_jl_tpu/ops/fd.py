@@ -105,3 +105,14 @@ def fd_dy(u: jax.Array, dy: jax.Array | float) -> jax.Array:
 def divergence(u: jax.Array, dx, dy) -> jax.Array:
     """∂x u + ∂y u (reference `src/operators.jl:47`)."""
     return fd_dx(u, dx) + fd_dy(u, dy)
+
+
+def fd_d(u: jax.Array, spacing, axis: int) -> jax.Array:
+    """Derivative along an arbitrary axis with the same interior/boundary
+    stencils as `fd_dx`/`fd_dy` — used by the 3D dynamics extension."""
+    v = jnp.moveaxis(u, axis, -1)
+    interior = v[..., 2:] - v[..., :-2]
+    left = -3.0 * v[..., :1] + 4.0 * v[..., 1:2] - v[..., 2:3]
+    right = v[..., -3:-2] - 4.0 * v[..., -2:-1] + 3.0 * v[..., -1:]
+    d = jnp.concatenate([left, interior, right], axis=-1) / (2.0 * spacing)
+    return jnp.moveaxis(d, -1, axis)

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..dims import OneDim, TwoDim
+from ..dims import OneDim, ThreeDim, TwoDim
 
 
 def build_pml(dim, width: float, scale: float):
@@ -31,4 +31,13 @@ def build_pml(dim, width: float, scale: float):
         ramp = jnp.where(region, (x - xmin) / width, 0.0)
         pml_x = ramp**3 * scale
         return jnp.broadcast_to(pml_x[:, None], (dim.x.shape[0], dim.y.shape[0]))
+    if isinstance(dim, ThreeDim):
+        # 1D profile along x (broadcast per axis by the 3D dynamics);
+        # same normalization as the 2D branch
+        x = jnp.abs(dim.x)
+        pml_start = x[0] - width
+        region = x > pml_start
+        xmin = jnp.min(jnp.where(region, x, jnp.inf))
+        ramp = jnp.where(region, (x - xmin) / width, 0.0)
+        return ramp**3 * scale
     raise TypeError(f"unsupported dim type {type(dim)}")

@@ -32,8 +32,8 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from ..dims import OneDim, TwoDim, build_dirichlet, get_dx, get_dy
-from ..ops.fd import fd_dx, fd_dy, gradient_matrix
+from ..dims import OneDim, ThreeDim, TwoDim, build_dirichlet, get_dx, get_dy
+from ..ops.fd import fd_d, fd_dx, fd_dy, gradient_matrix
 from ..ops.pml import build_pml
 from ..utils.trees import register_pytree_dataclass
 
@@ -191,6 +191,74 @@ def make_acoustic_dynamics_2d(dim: TwoDim, c0: float, pml_width: float, pml_scal
         bc=build_dirichlet(dim),
         dx=get_dx(dim),
         dy=get_dy(dim),
+    )
+
+
+def acoustic_rhs_3d(x, c, f, prof, bc, spacing):
+    """Single-stack split-field PML acoustic RHS in 3D — an extension beyond
+    the reference (which declares ThreeDim, `src/dims.jl:20-25`, but never
+    integrates it). Symmetric generalization of `acoustic_rhs_2d`:
+    8 fields U, Vx, Vy, Vz, Psix, Psiy, Psiz, Omega; each Psi_i damps the
+    divergence of the OTHER axes' velocities (as Psix <- sx*Vyy in 2D), and
+    Omega integrates the pairwise sigma products (the triple product
+    sx*sy*sz term, third order in the corner overlap, is dropped).
+
+    x: (8, nx, ny, nz); c scalar or field; f source field; prof: (n,) 1D
+    sigma profile broadcast per axis; bc Dirichlet mask; spacing uniform.
+    """
+    U, Vx, Vy, Vz, Px, Py, Pz, Om = (x[i] for i in range(8))
+    b = c**2
+    sx = prof[:, None, None]
+    sy = prof[None, :, None]
+    sz = prof[None, None, :]
+
+    Vxx = fd_d(Vx, spacing, -3)
+    Vyy = fd_d(Vy, spacing, -2)
+    Vzz = fd_d(Vz, spacing, -1)
+    Uf = U + f
+    Ux = fd_d(Uf, spacing, -3)
+    Uy = fd_d(Uf, spacing, -2)
+    Uz = fd_d(Uf, spacing, -1)
+
+    dU = b * (Vxx + Vyy + Vzz) + Px + Py + Pz - (sx + sy + sz) * U - Om
+    dVx = Ux - sx * Vx
+    dVy = Uy - sy * Vy
+    dVz = Uz - sz * Vz
+    dPx = b * sx * (Vyy + Vzz)
+    dPy = b * sy * (Vxx + Vzz)
+    dPz = b * sz * (Vxx + Vyy)
+    dOm = (sx * sy + sy * sz + sz * sx) * U
+
+    return jnp.stack([bc * dU, dVx, dVy, dVz, dPx, dPy, dPz, dOm], axis=0)
+
+
+@register_pytree_dataclass(meta_fields=("c0",))
+@dataclass(frozen=True)
+class AcousticDynamics3D:
+    """Total + incident stacks over 16 channels (3D analog of
+    `AcousticDynamics2D`). theta = (C, F): t -> speed field/scalar and
+    t -> source field."""
+
+    c0: float
+    prof: jax.Array  # (n,) 1D sigma profile
+    bc: jax.Array  # (nx, ny, nz)
+    spacing: jax.Array
+
+    def __call__(self, x, t, theta):
+        C, F = theta
+        c = C(t)
+        f = F(t)
+        dtot = acoustic_rhs_3d(x[0:8], c, f, self.prof, self.bc, self.spacing)
+        dinc = acoustic_rhs_3d(x[8:16], self.c0, f, self.prof, self.bc, self.spacing)
+        return jnp.concatenate([dtot, dinc], axis=0)
+
+
+def make_acoustic_dynamics_3d(dim: ThreeDim, c0: float, pml_width: float, pml_scale: float):
+    return AcousticDynamics3D(
+        c0=float(c0),
+        prof=build_pml(dim, pml_width, pml_scale),
+        bc=build_dirichlet(dim),
+        spacing=get_dx(dim),
     )
 
 

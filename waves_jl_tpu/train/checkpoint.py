@@ -53,3 +53,34 @@ def load_checkpoint(path: str, params_like, opt_state_like=None):
     with open(os.path.join(path, "meta.json")) as f:
         step = json.load(f)["step"]
     return params, opt_state, step
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (opt-in): async saves + sharded-array support for multi-host
+# meshes. The npz backend above stays the default — it is dependency-free,
+# diff-able, and sufficient for single-host training.
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(path: str, params, opt_state=None, step: int = 0):
+    """Save via orbax StandardCheckpointer (handles jax.Array sharding)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = {"params": params, "step": np.full((), step, np.int64)}
+    if opt_state is not None:
+        tree["opt_state"] = opt_state
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, params_like, opt_state_like=None):
+    """Returns (params, opt_state | None, step) from an orbax checkpoint."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    target = {"params": params_like, "step": np.zeros((), np.int64)}
+    if opt_state_like is not None:
+        target["opt_state"] = opt_state_like
+    tree = ckptr.restore(os.path.abspath(path), target)
+    return tree["params"], tree.get("opt_state"), int(tree["step"])

@@ -13,9 +13,15 @@ from contextlib import contextmanager
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics log; also keeps in-memory history."""
+    """Append-only JSONL metrics log; also keeps in-memory history.
 
-    def __init__(self, path: str | None = None):
+    `tensorboard_dir` additionally mirrors numeric values as TensorBoard
+    scalars (via jax's bundled tensorboardX-compatible writer if available;
+    silently disabled otherwise — TB is a viewer convenience, never a
+    dependency).
+    """
+
+    def __init__(self, path: str | None = None, tensorboard_dir: str | None = None):
         self.path = path
         self.history: list[dict] = []
         if path:
@@ -23,6 +29,14 @@ class MetricsLogger:
             self._f = open(path, "a")
         else:
             self._f = None
+        self._tb = None
+        if tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter  # cpu torch is baked in
+
+                self._tb = SummaryWriter(tensorboard_dir)
+            except Exception:
+                self._tb = None
 
     def log(self, **kv):
         rec = {"time": time.time(), **kv}
@@ -30,11 +44,20 @@ class MetricsLogger:
         if self._f:
             self._f.write(json.dumps(rec) + "\n")
             self._f.flush()
+        if self._tb is not None:
+            step = int(rec.get("step", len(self.history)))
+            for k, v in rec.items():
+                if k in ("time", "step", "epoch"):
+                    continue
+                if isinstance(v, (int, float)):
+                    self._tb.add_scalar(k, v, step)
         return rec
 
     def close(self):
         if self._f:
             self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class Timer:
