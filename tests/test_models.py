@@ -127,3 +127,28 @@ def test_model_overfits_small_batch(env_and_data, model):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_bf16_conv_encoder_option():
+    """conv_dtype=bfloat16: params stay f32, outputs close to the f32 path."""
+    import waves_jl_tpu as w
+    from waves_jl_tpu.models import AcousticEnergyModel
+
+    space = w.build_triple_ring_design_space()
+    kw = dict(design_space=space, source_freq=1000.0, elements=64,
+              h_size=8, nfreq=8, integration_steps=10)
+    m32 = AcousticEnergyModel.create(**kw)
+    mbf = AcousticEnergyModel.create(conv_dtype=jnp.bfloat16, **kw)
+    from __graft_entry__ import _tiny_batch
+
+    batch = _tiny_batch(m32, B=2, horizon=1, steps=10, res=16)
+    params = m32.init(jax.random.PRNGKey(0), batch)
+    # same params usable by both (param dtype unchanged)
+    y32 = m32(params, batch)
+    ybf = mbf(params, batch)
+    assert all(
+        leaf.dtype == jnp.float32 for leaf in jax.tree_util.tree_leaves(params)
+    )
+    np.testing.assert_allclose(
+        np.asarray(y32), np.asarray(ybf), rtol=0.1, atol=0.05
+    )

@@ -98,8 +98,11 @@ class AcousticEnergyModel:
         dt: float = 1e-5,
         integration_steps: int = 100,
         checkpoint: str = "sqrt",
+        conv_dtype=None,
     ) -> "AcousticEnergyModel":
-        """Reference hyperparameters from `scripts/main.jl:121-141`."""
+        """Reference hyperparameters from `scripts/main.jl:121-141`.
+        `conv_dtype=jnp.bfloat16` runs the encoder convs in bf16 (params
+        stay float32) — opt-in speed mode."""
         latent_dim = one_dim(latent_grid_size, elements)
         dynamics = make_acoustic_dynamics_1d(latent_dim, c0, pml_width, pml_scale)
         integrator = Integrator(dynamics=dynamics, dt=dt, checkpoint=checkpoint)
@@ -109,6 +112,7 @@ class AcousticEnergyModel:
                 nfreq=nfreq,
                 elements=elements,
                 latent_grid_size=latent_grid_size,
+                conv_dtype=conv_dtype,
             ),
             design_mlp=DesignMLP(
                 h_size=h_size,

@@ -12,7 +12,7 @@ Images are channels-last (B, H, W, C) — the idiomatic XLA/TPU conv layout.
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax
@@ -60,13 +60,14 @@ class ResidualBlock(nn.Module):
     features: int
     kernel: tuple = (3, 3)
     activation: Callable = leaky_relu
+    dtype: Any = None  # compute dtype; params stay float32
 
     @nn.compact
     def __call__(self, x):
-        main = nn.Conv(self.features, self.kernel, padding="SAME")(x)
+        main = nn.Conv(self.features, self.kernel, padding="SAME", dtype=self.dtype)(x)
         main = self.activation(main)
-        main = nn.Conv(self.features, self.kernel, padding="SAME")(main)
-        skip = nn.Conv(self.features, (1, 1), padding="SAME")(x)
+        main = nn.Conv(self.features, self.kernel, padding="SAME", dtype=self.dtype)(main)
+        skip = nn.Conv(self.features, (1, 1), padding="SAME", dtype=self.dtype)(x)
         out = self.activation(main + skip)
         return nn.max_pool(out, (2, 2), strides=(2, 2))
 
@@ -88,10 +89,15 @@ class MLP(nn.Module):
 class CNNBase(nn.Module):
     """TotalWaveInput(+1e-5) -> coords concat -> 3 ResidualBlocks ->
     global max pool (reference `build_cnn_base`,
-    `src/model/wave_encoder.jl:6-15`)."""
+    `src/model/wave_encoder.jl:6-15`).
+
+    `dtype=jnp.bfloat16` runs the convs in bf16 on the MXU (params stay
+    float32; output cast back) — an opt-in speed mode for training/MPC
+    batches where encoder precision is not the bottleneck."""
 
     h_size: int
     activation: Callable = leaky_relu
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -100,7 +106,8 @@ class CNNBase(nn.Module):
         b, h, w, _ = x.shape
         coords = jnp.broadcast_to(localization_coords((h, w))[None], (b, h, w, 2))
         x = jnp.concatenate([x, coords], axis=-1)
-        x = ResidualBlock(32, activation=self.activation)(x)
-        x = ResidualBlock(64, activation=self.activation)(x)
-        x = ResidualBlock(self.h_size, activation=self.activation)(x)
-        return jnp.max(x, axis=(1, 2))  # global max pool -> (B, h_size)
+        x = ResidualBlock(32, activation=self.activation, dtype=self.dtype)(x)
+        x = ResidualBlock(64, activation=self.activation, dtype=self.dtype)(x)
+        x = ResidualBlock(self.h_size, activation=self.activation, dtype=self.dtype)(x)
+        x = jnp.max(x, axis=(1, 2))  # global max pool -> (B, h_size)
+        return x.astype(jnp.float32)

@@ -8,7 +8,7 @@ latent grid. Field 6 (pml) is squared to stay nonnegative
 """
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -24,11 +24,12 @@ class WaveEncoder(nn.Module):
     elements: int
     latent_grid_size: float
     activation: Callable = leaky_relu
+    conv_dtype: Any = None  # e.g. jnp.bfloat16 for MXU-speed convs
 
     @nn.compact
     def __call__(self, x):
         """x: (B, res, res, C) -> (B, 6, E)."""
-        h = CNNBase(self.h_size, self.activation)(x)
+        h = CNNBase(self.h_size, self.activation, dtype=self.conv_dtype)(x)
         coefs = []
         for _ in range(N_LATENT_FIELDS):
             head = MLP([self.h_size, self.h_size, self.nfreq], self.activation)
