@@ -69,6 +69,8 @@ def main():
     p.add_argument("--episodes", type=int, default=4)
     p.add_argument("--locations", type=int, default=5,
                    help="fixed source y-locations (reference scripts/test.jl)")
+    p.add_argument("--fast", action="store_true",
+                   help="bf16 latent-matmul action ranking (~4x selection rate)")
     p.add_argument("--horizon", type=int, default=5)
     p.add_argument("--shots", type=int, default=256)
     p.add_argument("--alpha", type=float, default=1.0)
@@ -98,6 +100,9 @@ def main():
     params, _, step_no = load_checkpoint(args.checkpoint, params_like)
     print(f"loaded checkpoint step {step_no}")
 
+    if args.fast:
+        model = model.fast_ranking()
+        print("fast-ranking mode: bf16 latent matmul")
     if args.controller == "random_shooting":
         mpc = RandomShooting(model=model, horizon=args.horizon, shots=args.shots,
                              alpha=args.alpha)

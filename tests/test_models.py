@@ -152,3 +152,27 @@ def test_bf16_conv_encoder_option():
     np.testing.assert_allclose(
         np.asarray(y32), np.asarray(ybf), rtol=0.1, atol=0.05
     )
+
+
+def test_fast_ranking_mode_preserves_ordering():
+    """bf16 latent-matmul fast mode: same params, cost ordering of candidate
+    actions matches the f32 model (what MPC needs)."""
+    import waves_jl_tpu as w
+    from waves_jl_tpu.models import AcousticEnergyModel
+
+    space = w.build_triple_ring_design_space()
+    model = AcousticEnergyModel.create(
+        design_space=space, source_freq=1000.0, elements=64,
+        h_size=8, nfreq=8, integration_steps=10,
+    )
+    fast = model.fast_ranking()
+    from __graft_entry__ import _tiny_batch
+
+    batch = _tiny_batch(model, B=8, horizon=2, steps=10, res=16)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    y32 = np.asarray(model(params, batch))
+    ybf = np.asarray(fast(params, batch))
+    cost32 = y32[:, :, 2].sum(axis=1)
+    costbf = ybf[:, :, 2].sum(axis=1)
+    np.testing.assert_allclose(costbf, cost32, rtol=0.05, atol=1e-4)
+    assert int(np.argmin(costbf)) == int(np.argmin(cost32))

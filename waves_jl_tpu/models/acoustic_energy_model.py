@@ -83,6 +83,20 @@ class AcousticEnergyModel:
     source_freq: float
     integration_steps: int
 
+    def fast_ranking(self) -> "AcousticEnergyModel":
+        """bf16-matmul inference variant for MPC action RANKING: the latent
+        rollout's derivative contraction (its dominant cost, ~4.3 TFLOP per
+        256-shot selection) runs at the MXU's bf16 rate. Same params; energy
+        estimates drift ~1e-3 relative — far below the cost gaps separating
+        candidate actions (validated against the f32 ranking in tests)."""
+        import dataclasses
+
+        dyn = dataclasses.replace(self.dynamics, matmul_dtype="bfloat16")
+        integ = dataclasses.replace(
+            self.integrator, dynamics=dyn, checkpoint="none"
+        )
+        return dataclasses.replace(self, dynamics=dyn, integrator=integ)
+
     @classmethod
     def create(
         cls,

@@ -33,6 +33,8 @@ def make_fused_sharded_rollout(
     tile_interior: int = 48,
     axis_name: str = "space",
     interpret: bool = False,
+    radii_only: bool = False,
+    x_matmul: bool = False,
 ):
     """Build a jitted y-sharded fused rollout.
 
@@ -54,6 +56,10 @@ def make_fused_sharded_rollout(
         n=n, spacing=spacing, dt=dt, c0=c0, freq=freq, n_cyl=n_cyl,
         x_min=x_min, tile_interior=tile_interior, interpret=interpret,
         steps_per_call=1, ny_local=ny_local, y_ghost=yg,
+        # single-device kernel optimizations apply per shard unchanged:
+        # radii_only selects owners from (static) global coordinates, and
+        # x_matmul affects only the unsharded x direction
+        radii_only=radii_only, x_matmul=x_matmul,
     )
     px, _, _ = padded_dims(n, tile_interior)
     py_loc = math.ceil((ny_local + 2 * yg) / LANE) * LANE
