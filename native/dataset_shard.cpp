@@ -214,7 +214,8 @@ void* dss_open(const char* path) {
   uint64_t n = 0;
   if (ok) {
     std::memcpy(&n, r->base + idx_off, 8);
-    ok = idx_off + 8 + 8 * n <= r->size;
+    // overflow-safe: a corrupt count must not wrap 8*n past size
+    ok = n <= (r->size - idx_off - 8) / 8;
   }
   if (ok) {
     r->block_offsets.resize(n);

@@ -117,7 +117,7 @@ def main():
     from waves_jl_tpu.control import make_mpc_episode_fused
     from waves_jl_tpu.data import make_episode_fused
 
-    run_mpc = make_mpc_episode_fused(env, model, mpc)
+    run_mpc = make_mpc_episode_fused(env, mpc)
     run_rnd = make_episode_fused(env)
 
     import dataclasses
@@ -142,9 +142,11 @@ def main():
     for li, y_pos in enumerate(locations):
         mpc_tails, rnd_tails = [], []
         for ep in range(args.episodes):
-            key = jax.random.PRNGKey(args.seed + 1000 * li + ep)
-            state = fixed_source_state(key, y_pos)
-            k_mpc, k_rnd = jax.random.split(jax.random.PRNGKey(args.seed + 7 * ep + li))
+            base = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(args.seed), li), ep
+            )
+            k_reset, k_mpc, k_rnd = jax.random.split(base, 3)
+            state = fixed_source_state(k_reset, y_pos)
 
             t0 = _time.time()
             _, mpc_sig, _ = run_mpc(params, state, k_mpc)

@@ -43,7 +43,7 @@ def load_dataset(data_dir: str, episodes: int, horizon: int, train_val_split: fl
     if os.path.exists(shard):
         from waves_jl_tpu.data import load_episodes_shard
 
-        eps = load_episodes_shard(shard)[:episodes]
+        eps = load_episodes_shard(shard, limit=episodes)
     else:
         paths = sorted(
             glob.glob(os.path.join(data_dir, "episodes", "episode*.npz"))

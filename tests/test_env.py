@@ -216,6 +216,9 @@ def test_env_step_flux():
     assert fl.shape == (env.integration_steps + 1,)
     assert np.isfinite(fl).all()
     assert fl[0] == 0.0  # zero initial state -> zero flux
+    # the energy-signal contract must be unchanged vs plain env_step
+    ref_state, _ = jax.jit(lambda s, a: env_step(env, s, a))(state, action)
     np.testing.assert_allclose(
-        np.asarray(state2.signal), np.asarray(state2.signal)
+        np.asarray(state2.signal), np.asarray(ref_state.signal),
+        rtol=1e-6, atol=1e-9,
     )

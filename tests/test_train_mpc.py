@@ -129,7 +129,7 @@ def test_mpc_episode_fused(setup):
 
     env, data, model, params = setup
     mpc = RandomShooting(model=model, horizon=2, shots=4, alpha=1.0)
-    run = make_mpc_episode_fused(env, model, mpc, interpret=True)
+    run = make_mpc_episode_fused(env, mpc, interpret=True)
     state = env_reset(env, jax.random.PRNGKey(3))
     final, signals, costs = run(params, state, jax.random.PRNGKey(4))
     assert signals.shape == (env.actions, STEPS + 1, 3)

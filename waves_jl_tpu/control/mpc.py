@@ -72,7 +72,7 @@ class RandomShooting:
         return first, {"cost": cost, "idx": idx}
 
 
-def make_mpc_episode_fused(env: WaveEnv, model, mpc: "RandomShooting",
+def make_mpc_episode_fused(env: WaveEnv, mpc: "RandomShooting",
                            tile_interior: int = 48, interpret: bool = False):
     """Whole MPC episode in ONE device program (the BASELINE north-star
     quantity: full 20-action x 100-step episode through the surrogate
@@ -81,8 +81,10 @@ def make_mpc_episode_fused(env: WaveEnv, model, mpc: "RandomShooting",
     window. Eliminates the 2(+) tunnel dispatches per action (~30 ms each)
     of the step-at-a-time loop (reference loop shape `scripts/mpc.jl:129-143`).
 
-    Returns run(params, state, key) -> (final_state, signals (A, T+1, 3),
-    chosen_costs (A,)).
+    The surrogate is reached through `mpc.model` (no separate model
+    argument — a second reference invited silently evaluating the wrong
+    instance). Returns run(params, state, key) -> (final_state,
+    signals (A, T+1, 3), chosen_costs (A,)).
     """
     from ..physics.fused import make_env_step_fused
 

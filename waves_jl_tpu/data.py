@@ -106,21 +106,15 @@ def generate_episode_fused(env: WaveEnv, policy, key: jax.Array, fused_step, sta
     )
 
 
-def make_episode_fused(env: WaveEnv, tile_interior: int = 48, interpret: bool = False):
-    """Whole-episode fused generator: observe + Pallas window for all
-    `env.actions` windows inside ONE `lax.scan` program (one device dispatch
-    per episode instead of 2 per action window — the per-window loop in
-    `generate_episode_fused` is dispatch-bound at ~30 ms/call through the
-    axon tunnel).
-
-    Returns run(state, actions) -> (final_state, Episode), jitted.
-    """
+def _fused_episode_fn(env: WaveEnv, tile_interior: int, interpret: bool):
+    """Shared traceable whole-episode body: observe + fused Pallas window
+    scanned over the action sequence. Single definition so the one-episode
+    and chunk-of-episodes generators cannot drift."""
     from .physics.fused import make_env_step_fused
 
     step = make_env_step_fused(env, tile_interior, interpret, jit=False)
 
-    @jax.jit
-    def run(state, actions):
+    def one_episode(state, actions):
         def body(st, action):
             obs = env_observe(env, st)
             st2, info = step(st, action)
@@ -131,7 +125,19 @@ def make_episode_fused(env: WaveEnv, tile_interior: int = 48, interpret: bool = 
             s_wave=s_wave, s_design=s_design, s_tspan=s_tspan, a=actions, y=y
         )
 
-    return run
+    return one_episode
+
+
+def make_episode_fused(env: WaveEnv, tile_interior: int = 48, interpret: bool = False):
+    """Whole-episode fused generator: observe + Pallas window for all
+    `env.actions` windows inside ONE `lax.scan` program (one device dispatch
+    per episode instead of 2 per action window — the per-window loop in
+    `generate_episode_fused` is dispatch-bound at ~30 ms/call through the
+    axon tunnel).
+
+    Returns run(state, actions) -> (final_state, Episode), jitted.
+    """
+    return jax.jit(_fused_episode_fn(env, tile_interior, interpret))
 
 
 def make_episode_chunk_fused(env: WaveEnv, tile_interior: int = 48,
@@ -144,26 +150,13 @@ def make_episode_chunk_fused(env: WaveEnv, tile_interior: int = 48,
     Returns run(states, actions) -> Episode with leading axis K on every
     leaf, where `states`/`actions` are stacked over K.
     """
-    from .physics.fused import make_env_step_fused
-
-    step = make_env_step_fused(env, tile_interior, interpret, jit=False)
-
-    def one_episode(state, actions):
-        def body(st, action):
-            obs = env_observe(env, st)
-            st2, info = step(st, action)
-            return st2, (obs.wave, obs.design, info["tspan"], st2.signal)
-
-        final, (s_wave, s_design, s_tspan, y) = jax.lax.scan(body, state, actions)
-        return Episode(
-            s_wave=s_wave, s_design=s_design, s_tspan=s_tspan, a=actions, y=y
-        )
+    one_episode = _fused_episode_fn(env, tile_interior, interpret)
 
     @jax.jit
     def run(states, actions):
         def body(_, xs):
             st, acts = xs
-            return None, one_episode(st, acts)
+            return None, one_episode(st, acts)[1]
 
         _, eps = jax.lax.scan(body, None, (states, actions))
         return eps
@@ -310,6 +303,54 @@ def _flatten_named(tree):
     return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat}
 
 
+def _named_with_structure(episode: Episode) -> dict:
+    """Leaf arrays + the JSON structure descriptor (float32-encoded bytes:
+    the native store is float32-only). Single definition shared by every
+    episode writer so readers and writers cannot drift."""
+    import json
+
+    named = _flatten_named(episode)
+    desc = json.dumps(encode_structure(episode)).encode()
+    named[_STRUCT_KEY] = np.frombuffer(desc, dtype=np.uint8).astype(np.float32)
+    return named
+
+
+def _load_episode_cloak_fallback(data, as_arr, path: str) -> Episode:
+    """Pre-descriptor files (round-1 datasets) stored standard Cloak
+    episodes; rebuild that structure explicitly."""
+    from .designs import AdjustableRadiiScatterers, Cloak, Cylinders
+
+    def cloak(prefix):
+        return Cloak(
+            config=AdjustableRadiiScatterers(
+                Cylinders(
+                    pos=as_arr(data[prefix + ".config.cylinders.pos"]),
+                    r=as_arr(data[prefix + ".config.cylinders.r"]),
+                    c=as_arr(data[prefix + ".config.cylinders.c"]),
+                )
+            ),
+            core=Cylinders(
+                pos=as_arr(data[prefix + ".core.pos"]),
+                r=as_arr(data[prefix + ".core.r"]),
+                c=as_arr(data[prefix + ".core.c"]),
+            ),
+        )
+
+    try:
+        return Episode(
+            s_wave=as_arr(data[".s_wave"]),
+            s_design=cloak(".s_design"),
+            s_tspan=as_arr(data[".s_tspan"]),
+            a=cloak(".a"),
+            y=as_arr(data[".y"]),
+        )
+    except KeyError as e:
+        raise ValueError(
+            f"{path} has no structure descriptor and is not a standard "
+            "Cloak episode; pass a `like=` template Episode"
+        ) from e
+
+
 def save_episode(episode: Episode, path: str):
     """Save an episode. `.wbin` uses the native mmap'd binary store
     (native/episode_store.cpp, ~10x faster than compressed npz); any other
@@ -321,11 +362,7 @@ def save_episode(episode: Episode, path: str):
     type tags (`src/data.jl:60-71`). Encoded as a float32 byte array because
     the native store is float32-only.
     """
-    import json
-
-    named = _flatten_named(episode)
-    desc = json.dumps(encode_structure(episode)).encode()
-    named[_STRUCT_KEY] = np.frombuffer(desc, dtype=np.uint8).astype(np.float32)
+    named = _named_with_structure(episode)
     if path.endswith(".wbin"):
         from .native import save_bundle
 
@@ -357,10 +394,7 @@ def load_episode(path: str, like: Episode | None = None, device: bool = True) ->
     as_arr = jnp.asarray if device else np.asarray
     if like is None:
         if _STRUCT_KEY not in data:
-            raise ValueError(
-                f"{path} predates the structure descriptor; pass a `like=` "
-                "template Episode to load it"
-            )
+            return _load_episode_cloak_fallback(data, as_arr, path)
         desc = json.loads(
             bytes(np.asarray(data[_STRUCT_KEY]).astype(np.uint8)).decode()
         )
@@ -394,36 +428,22 @@ def prepare_dataset(episodes: list[Episode], horizon: int) -> dict:
 def save_episodes_shard(path: str, episodes: list[Episode]):
     """Stream a list of episodes into ONE native shard file (see
     native/dataset_shard.cpp); structure descriptor embedded per episode."""
-    import json
-
-    from .native import ShardWriter
-
-    wtr = ShardWriter(path)
+    shard = open_episodes_shard(path)
     for ep in episodes:
-        named = _flatten_named(ep)
-        desc = json.dumps(encode_structure(ep)).encode()
-        named[_STRUCT_KEY] = np.frombuffer(desc, dtype=np.uint8).astype(np.float32)
-        wtr.append(named)
-    wtr.finish()
+        shard.append(ep)
+    shard.finish()
 
 
 def open_episodes_shard(path: str):
     """Incremental shard writer for datagen pipelines: returns an object
     with .append(episode) / .finish()."""
-    import json
-
     from .native import ShardWriter
 
     wtr = ShardWriter(path)
 
     class _EpisodeShard:
         def append(self, ep: Episode):
-            named = _flatten_named(ep)
-            desc = json.dumps(encode_structure(ep)).encode()
-            named[_STRUCT_KEY] = np.frombuffer(desc, dtype=np.uint8).astype(
-                np.float32
-            )
-            return wtr.append(named)
+            return wtr.append(_named_with_structure(ep))
 
         def finish(self):
             wtr.finish()
@@ -431,13 +451,16 @@ def open_episodes_shard(path: str):
     return _EpisodeShard()
 
 
-def load_episodes_shard(path: str, device: bool = False) -> list[Episode]:
-    """Load every episode from a native shard (one mmap, zero-copy reads)."""
+def load_episodes_shard(path: str, device: bool = False,
+                        limit: int | None = None) -> list[Episode]:
+    """Load episodes from a native shard (one mmap, zero-copy reads).
+    `limit` stops after the first N episodes without copying the rest out
+    of the map."""
     import json
 
     from .native import load_shard
 
-    bundles = load_shard(path)
+    bundles = load_shard(path, limit=limit)
     if bundles is None:
         raise IOError("native shard store unavailable (no g++?)")
     as_arr = jnp.asarray if device else np.asarray

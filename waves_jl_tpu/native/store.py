@@ -170,6 +170,8 @@ class ShardWriter:
             raise IOError(f"cannot create shard {path}")
 
     def append(self, tensors: dict) -> int:
+        if self._h is None:
+            raise IOError("shard already finished")
         names = list(tensors.keys())
         originals = [np.asarray(tensors[n], dtype=np.float32) for n in names]
         shapes = [a.shape for a in originals]
@@ -188,15 +190,18 @@ class ShardWriter:
         return int(idx)
 
     def finish(self):
+        if self._h is None:
+            raise IOError("shard already finished")
         rc = self._lib.ds_finish(self._h)
         self._h = None
         if rc != 0:
             raise IOError(f"shard finish failed rc={rc}")
 
 
-def load_shard(path: str) -> list[dict] | None:
+def load_shard(path: str, limit: int | None = None) -> list[dict] | None:
     """Read back a shard as a list of {name: float32 ndarray}; None if the
-    native store is unavailable."""
+    native store is unavailable. `limit` copies only the first N episodes
+    out of the map (the reader is random-access)."""
     lib = _load_shard()
     if lib is None:
         return None
@@ -205,7 +210,10 @@ def load_shard(path: str) -> list[dict] | None:
         raise IOError(f"cannot open shard {path}")
     try:
         out = []
-        for ep in range(lib.dss_episodes(h)):
+        n_eps = lib.dss_episodes(h)
+        if limit is not None:
+            n_eps = min(n_eps, limit)
+        for ep in range(n_eps):
             d = {}
             for i in range(lib.dss_count(h, ep)):
                 name = lib.dss_name(h, ep, i).decode()

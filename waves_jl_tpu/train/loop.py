@@ -223,10 +223,15 @@ def train(
         with timer("validate"):
             val_loss = float(eval_k(params, val_data, val_idx))
         epoch = epoch_of_row[min(start + chunk.shape[0] - 1, len(epoch_of_row) - 1)]
+        # seconds per OPTIMIZER UPDATE, from total wall over total true
+        # micro-steps (the final short chunk therefore cannot skew it);
+        # note the DP branch's "step_time" is per MICRO-step
+        total_s = timer.totals["train_chunk"]
+        total_updates = micro_step / config.accumulate
         logger.log(
             step=updates_done, epoch=epoch, train_loss=train_loss,
             val_loss=val_loss,
-            step_time=timer.mean("train_chunk") / max(1, K / config.accumulate),
+            step_time=total_s / max(1.0, total_updates),
         )
         print(
             f"Step: {updates_done}, Train Loss: {train_loss:.6g}, "
