@@ -59,8 +59,10 @@ def main():
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--actions", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--format", choices=["wbin", "npz"], default="wbin",
-                   help="wbin = native mmap store (falls back to npz without g++)")
+    p.add_argument("--format", choices=["wbin", "npz", "shard"], default="wbin",
+                   help="wbin = native mmap store (falls back to npz without "
+                        "g++); shard = stream all episodes into one "
+                        "data.wshard file (flat memory, one mmap at train time)")
     p.add_argument("--no-fused", action="store_true",
                    help="use the XLA stencil path instead of the Pallas kernel")
     p.add_argument("--chunk", type=int, default=10,
@@ -89,11 +91,20 @@ def main():
         # fused path: observe + Pallas windows for a whole chunk of episodes
         # in one device program (dispatch-amortized)
         last = [time.time()]
+        shard = None
+        if args.format == "shard":
+            from waves_jl_tpu.data import open_episodes_shard
+
+            shard = open_episodes_shard(os.path.join(args.out, "data.wshard"))
 
         def save(i, ep):
-            save_episode(
-                ep, os.path.join(args.out, "episodes", f"episode{i + 1}.{args.format}")
-            )
+            if shard is not None:
+                shard.append(ep)
+            else:
+                save_episode(
+                    ep,
+                    os.path.join(args.out, "episodes", f"episode{i + 1}.{args.format}"),
+                )
             now = time.time()
             print(
                 f"episode {i + 1}/{args.episodes} "
@@ -104,6 +115,8 @@ def main():
         generate_episodes_chunked(
             env, policy, key, args.episodes, chunk=args.chunk, on_episode=save
         )
+        if shard is not None:
+            shard.finish()
     else:
         for i in range(args.episodes):
             key, k = jax.random.split(key)

@@ -244,6 +244,11 @@ class WaveControlPINNLoss:
         model = self.model
         z0, f_shape, pml, C = model.encode(params, batch)
         t = batch["t"]  # (B, T+1)
+        assert t.shape[1] == model.integration_steps + 1, (
+            "WaveControlPINNLoss trains on horizon-1 windows (reference "
+            "scripts/main.jl:127); prepare the dataset with horizon=1 "
+            f"(got a length-{t.shape[1]} joined window)"
+        )
         F = Source(shape=f_shape, freq=jnp.float32(model.source_freq))
 
         knots = t[:, :: model.integration_steps]
