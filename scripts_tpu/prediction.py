@@ -122,6 +122,7 @@ def main():
     ax.set_xlabel("Prediction horizon (actions)")
     ax.set_ylabel("Scattered-energy MSE")
     ax.legend()
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     fig.savefig(args.out, dpi=120)
     print(f"wrote {args.out}")
 
