@@ -62,8 +62,20 @@ class RandomShooting:
 
     def __call__(self, params, env: WaveEnv, state: EnvState, key: jax.Array):
         actions = build_action_sequence(env.action_space, key, self.horizon, self.shots)
-        batch = _mpc_batch(env, state, actions, self.horizon, self.shots)
-        y_hat = self.model(params, batch)  # (S, L, 3)
+        if hasattr(self.model, "predict_shots"):
+            # single-observation fast path: encode the wave once instead of
+            # S redundant copies
+            obs = env_observe(env, state)
+            t = env_time(env, state) + build_tspan(
+                0.0, env.dt, env.integration_steps * self.horizon
+            )
+            t = jnp.broadcast_to(t[None], (self.shots, t.shape[0]))
+            y_hat = self.model.predict_shots(
+                params, obs.wave, state.design, actions, t
+            )
+        else:
+            batch = _mpc_batch(env, state, actions, self.horizon, self.shots)
+            y_hat = self.model(params, batch)  # (S, L, 3)
         energy = jnp.sum(y_hat[:, :, 2], axis=1)  # scattered energy cost
         penalty = compute_action_cost(actions)
         cost = energy + self.alpha * penalty

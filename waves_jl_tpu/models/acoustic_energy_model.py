@@ -190,6 +190,33 @@ class AcousticEnergyModel:
         z = self.generate_latent_solution(params, batch)
         return compute_latent_energy(z, self.dx)
 
+    def predict_shots(self, params, obs_wave, s_design, actions, t) -> jax.Array:
+        """MPC selection fast path: ONE observation, S candidate action
+        sequences -> (S, L, 3) energies. The generic batch path runs the
+        conv encoder on S identical copies of the observation (the
+        selection's largest redundant cost); here the wave is encoded once
+        and the latents broadcast — only the design encoder and the latent
+        rollout are per-shot.
+
+        obs_wave (res, res, C); s_design: single design pytree;
+        actions: (S, H) action pytree; t (S, L).
+        """
+        S = t.shape[0]
+        x = self.wave_encoder.apply(params["wave_encoder"], obs_wave[None])  # (1,6,E)
+        x = jnp.broadcast_to(x, (S, *x.shape[1:]))
+        z0 = x[:, 0:4]
+        F = Source(shape=x[:, 4], freq=jnp.float32(self.source_freq))
+        PML = x[:, 5]
+        s_design_s = jax.tree_util.tree_map(
+            lambda v: jnp.broadcast_to(v[None], (S, *v.shape)), s_design
+        )
+        C = design_encoder_apply(
+            self.design_mlp, params["design_encoder"], self.design_space,
+            s_design_s, actions, t, self.integration_steps,
+        )
+        z = self.integrator(z0, t, (C, F, PML))
+        return compute_latent_energy(z, self.dx)
+
 
 def energy_loss(model: AcousticEnergyModel, params, batch) -> jax.Array:
     """MSE on all three energy channels (reference `scripts/main.jl:10-12`)."""
