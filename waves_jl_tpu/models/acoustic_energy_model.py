@@ -32,6 +32,7 @@ def compute_latent_energy(z: jax.Array, dx) -> jax.Array:
     """z: (L, B, 4, E) time-leading latent trajectory -> (B, L, 3)
     [tot, inc, sc] energies (reference
     `src/model/acoustic_energy_model.jl:6-15`)."""
+    z = z.astype(jnp.float32)  # accumulate energies in f32 (bf16 rollouts)
     tot = z[:, :, 0]  # (L, B, E)
     inc = z[:, :, 2]
     sc = tot - inc
@@ -84,14 +85,16 @@ class AcousticEnergyModel:
     integration_steps: int
 
     def fast_ranking(self) -> "AcousticEnergyModel":
-        """bf16-matmul inference variant for MPC action RANKING: the latent
-        rollout's derivative contraction (its dominant cost, ~4.3 TFLOP per
-        256-shot selection) runs at the MXU's bf16 rate. Same params; energy
-        estimates drift ~1e-3 relative — far below the cost gaps separating
-        candidate actions (validated against the f32 ranking in tests)."""
+        """bf16-state inference variant for MPC action RANKING. Measured on
+        TPU v5e: NO speedup — the 500-step selection rollout is bound by
+        per-step fixed costs (scan carry/layout churn), identical at f32 /
+        bf16-matmul / bf16-state (33-34 ms at B=256; PERF_NOTES.md). Kept
+        as an option for hardware where bytes dominate; candidate-cost
+        ordering matches f32 (tested). The real <1 s lever is FEWER
+        sequential latent steps (coarser latent dt), a model change."""
         import dataclasses
 
-        dyn = dataclasses.replace(self.dynamics, matmul_dtype="bfloat16")
+        dyn = dataclasses.replace(self.dynamics, state_dtype="bfloat16")
         integ = dataclasses.replace(
             self.integrator, dynamics=dyn, checkpoint="none"
         )

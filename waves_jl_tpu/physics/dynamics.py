@@ -262,7 +262,7 @@ def make_acoustic_dynamics_3d(dim: ThreeDim, c0: float, pml_width: float, pml_sc
     )
 
 
-@register_pytree_dataclass(meta_fields=("c0", "matmul_dtype"))
+@register_pytree_dataclass(meta_fields=("c0", "matmul_dtype", "state_dtype"))
 @dataclass(frozen=True)
 class AcousticDynamics1D:
     """Batched 4-field latent transmission system with learned PML
@@ -272,10 +272,13 @@ class AcousticDynamics1D:
     theta = (C, F, PML): C(t) -> (B, E) latent speed, F(t) -> (B, E) latent
     source, PML (B, E) learned profile scaled by pml[0] (= pml_scale).
 
-    `matmul_dtype="bfloat16"` runs the derivative contraction (the rollout's
-    only matmul and its dominant cost) in 1-pass bf16 — the MPC fast-ranking
-    mode (~4x MXU rate; energies drift ~1e-3 relative, far below the cost
-    gaps that separate candidate actions). Default float32.
+    `matmul_dtype="bfloat16"` runs the derivative contraction in 1-pass
+    bf16; `state_dtype="bfloat16"` streams the whole per-step chain in
+    bf16. Both measured flat on TPU v5e (33-34 ms per 500-step B=256
+    rollout regardless — per-step fixed costs dominate; PERF_NOTES.md),
+    so they are options for other hardware, not speed levers here.
+    Energies drift ~1e-2 relative in bf16 state: MPC ranking only.
+    Default float32.
     """
 
     c0: float
@@ -283,6 +286,7 @@ class AcousticDynamics1D:
     pml: jax.Array  # (E,) only pml[0] (== scale at the boundary) is used
     bc: jax.Array  # (E,)
     matmul_dtype: str = "float32"
+    state_dtype: str = "float32"
 
     def _ddx(self, u):
         # (B, E) @ (E, E)^T on the MXU
@@ -290,34 +294,39 @@ class AcousticDynamics1D:
 
     def __call__(self, x, t, theta):
         C, F, PML = theta
-        sigma = self.pml[0] * PML  # (B, E)
-        c = C(t)
-        f = F(t)
+        bf16_state = self.state_dtype == "bfloat16"
+        dt_ = jnp.bfloat16 if bf16_state else jnp.float32
+        sigma = (self.pml[0] * PML).astype(dt_)  # (B, E)
+        c = C(t).astype(dt_)
+        f = F(t).astype(dt_)
+        x = x.astype(dt_)
 
         u_tot, v_tot, u_inc, v_inc = x[:, 0], x[:, 1], x[:, 2], x[:, 3]
 
         # one fused (B*4, E) x (E, E) MXU contraction for all four fields
         # (four separate (B, E) matmuls waste systolic-array rows)
         stacked = jnp.stack([v_tot, u_tot + f, v_inc, u_inc + f], axis=1)
-        if self.matmul_dtype == "bfloat16":
+        if bf16_state or self.matmul_dtype == "bfloat16":
             d = jnp.einsum(
                 "bfe,ke->bfk", stacked.astype(jnp.bfloat16),
                 self.grad.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
-            )
+            ).astype(dt_)
         else:
             d = jnp.einsum(
                 "bfe,ke->bfk", stacked, self.grad,
                 preferred_element_type=jnp.float32,
             )
 
-        du_tot = (self.c0 * c) * d[:, 0] - sigma * u_tot
-        dv_tot = (self.c0 * c) * d[:, 1] - sigma * v_tot
-        du_inc = self.c0 * d[:, 2] - sigma * u_inc
-        dv_inc = self.c0 * d[:, 3] - sigma * v_inc
+        c0_ = jnp.asarray(self.c0, dt_)
+        du_tot = (c0_ * c) * d[:, 0] - sigma * u_tot
+        dv_tot = (c0_ * c) * d[:, 1] - sigma * v_tot
+        du_inc = c0_ * d[:, 2] - sigma * u_inc
+        dv_inc = c0_ * d[:, 3] - sigma * v_inc
 
+        bc_ = self.bc.astype(dt_)
         return jnp.stack(
-            [du_tot * self.bc, dv_tot, du_inc * self.bc, dv_inc], axis=1
+            [du_tot * bc_, dv_tot, du_inc * bc_, dv_inc], axis=1
         )
 
 
