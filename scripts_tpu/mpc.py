@@ -26,7 +26,12 @@ import waves_jl_tpu as w
 from waves_jl_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
-from waves_jl_tpu.control import GradientShooting, RandomShooting
+from waves_jl_tpu.control import (
+    CEMShooting,
+    GradientShooting,
+    RandomShooting,
+    make_oracle_episode_fused,
+)
 from waves_jl_tpu.env import (
     RandomDesignPolicy,
     env_reset,
@@ -65,7 +70,9 @@ def scattered_tail_mean(signals):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True)
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", default=None,
+                   help="surrogate checkpoint (not needed for --controller "
+                        "oracle)")
     p.add_argument("--episodes", type=int, default=4)
     p.add_argument("--locations", type=int, default=5,
                    help="fixed source y-locations (reference scripts/test.jl)")
@@ -76,29 +83,50 @@ def main():
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--actions", type=int, default=20)
     p.add_argument("--n", type=int, default=700)
-    p.add_argument("--controller", choices=["random_shooting", "gradient"],
+    p.add_argument("--controller",
+                   choices=["random_shooting", "cem", "gradient", "oracle"],
                    default="random_shooting")
+    p.add_argument("--cem-iters", type=int, default=3)
+    p.add_argument("--cem-elites", type=int, default=32)
+    p.add_argument("--latent-stride", type=int, default=1,
+                   help="latent-dt coarsening of the surrogate checkpoint "
+                        "(must match how it was trained)")
     p.add_argument("--render", type=str, default=None)
     p.add_argument("--h-size", type=int, default=256)
     p.add_argument("--nfreq", type=int, default=500)
     p.add_argument("--elements", type=int, default=1024)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default="mpc_results.json",
+                   help="result JSON path; refuses to overwrite unless "
+                        "--force (artifact hygiene: the round-2 headline "
+                        "was clobbered by a later demo run)")
+    p.add_argument("--force", action="store_true")
     args = p.parse_args()
+
+    if os.path.exists(args.out) and not args.force:
+        sys.exit(f"refusing to overwrite {args.out} (pass --force or --out)")
+    if args.controller != "oracle" and not args.checkpoint:
+        sys.exit("--checkpoint is required for surrogate controllers")
 
     env = build_env(args.n, 100, args.actions)
     model = AcousticEnergyModel.create(
         design_space=w.build_triple_ring_design_space(), source_freq=1000.0,
         elements=args.elements, h_size=args.h_size, nfreq=args.nfreq,
-        integration_steps=100,
+        integration_steps=100 // args.latent_stride, dt=1e-5 * args.latent_stride,
     )
     dummy = env_reset(env, jax.random.PRNGKey(0))
-    from __graft_entry__ import _tiny_batch
+    if args.controller == "oracle":
+        params = None  # true-simulator shooting needs no surrogate weights
+    else:
+        from __graft_entry__ import _tiny_batch
 
-    params_like = model.init(
-        jax.random.PRNGKey(0), _tiny_batch(model, B=1, horizon=1, steps=100, res=128)
-    )
-    params, _, step_no = load_checkpoint(args.checkpoint, params_like)
-    print(f"loaded checkpoint step {step_no}")
+        params_like = model.init(
+            jax.random.PRNGKey(0),
+            _tiny_batch(model, B=1, horizon=1,
+                        steps=100 // args.latent_stride, res=128),
+        )
+        params, _, step_no = load_checkpoint(args.checkpoint, params_like)
+        print(f"loaded checkpoint step {step_no}")
 
     if args.fast:
         model = model.fast_ranking()
@@ -106,6 +134,12 @@ def main():
     if args.controller == "random_shooting":
         mpc = RandomShooting(model=model, horizon=args.horizon, shots=args.shots,
                              alpha=args.alpha)
+    elif args.controller == "cem":
+        mpc = CEMShooting(model=model, horizon=args.horizon, shots=args.shots,
+                          alpha=args.alpha, iters=args.cem_iters,
+                          elites=args.cem_elites)
+    elif args.controller == "oracle":
+        mpc = None  # true-simulator shooting; no surrogate in the loop
     else:
         mpc = GradientShooting(model=model, horizon=args.horizon,
                                shots=max(8, args.shots // 8), alpha=args.alpha)
@@ -120,7 +154,15 @@ def main():
     # the bf16-fast program raises XLA's context-dependent scoped-VMEM
     # pressure around the Pallas call past the 16 MB budget at tile 48;
     # tile 40 costs ~3% on the env windows and compiles in both programs
-    run_mpc = make_mpc_episode_fused(env, mpc, tile_interior=40 if args.fast else 48)
+    if args.controller == "oracle":
+        run_oracle = make_oracle_episode_fused(
+            env, horizon=args.horizon, shots=args.shots, alpha=args.alpha
+        )
+        run_mpc = lambda pm, s, k: run_oracle(s, k)
+    else:
+        run_mpc = make_mpc_episode_fused(
+            env, mpc, tile_interior=40 if args.fast else 48
+        )
     run_rnd = make_episode_fused(env)
 
     import dataclasses
@@ -176,6 +218,11 @@ def main():
         "percentage_decrease": per_location,
         "mean_decrease": float(np.mean(per_location)),
         "controller": args.controller,
+        "checkpoint": args.checkpoint,
+        "actions": args.actions,
+        "shots": args.shots,
+        "horizon": args.horizon,
+        "latent_stride": args.latent_stride,
         "protocol": f"{args.locations} locations x {args.episodes} episodes, "
                     f"tail-mean scattered energy (scripts/test.jl)",
         "mpc_episode_seconds": {
@@ -184,8 +231,9 @@ def main():
         },
     }
     print(json.dumps(result))
-    with open("mpc_results.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(result, f)
+    print(f"wrote {args.out}")
 
     if args.render:
         from waves_jl_tpu.viz.episode import render_episode

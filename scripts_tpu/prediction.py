@@ -28,10 +28,11 @@ from waves_jl_tpu.models import AcousticEnergyModel, NODEEnergyModel, WaveContro
 from waves_jl_tpu.train import load_checkpoint
 
 
-def sweep(model, params, eps, horizons, batch: int, batches: int, scalar_out: bool):
+def sweep(model, params, eps, horizons, batch: int, batches: int, scalar_out: bool,
+          stride: int = 1):
     errors = {}
     for h in horizons:
-        data = concat_datasets([prepare_data(ep, h) for ep in eps])
+        data = concat_datasets([prepare_data(ep, h, stride) for ep in eps])
         fwd = jax.jit(lambda p, b: model(p, b))
         errs = []
         for i, b in enumerate(dataloader(data, batch, jax.random.PRNGKey(0))):
@@ -64,10 +65,18 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--batches", type=int, default=8)
     p.add_argument("--out", default="error_plot.png")
+    p.add_argument("--json-out", default="prediction_errors.json")
+    p.add_argument("--force", action="store_true")
     p.add_argument("--h-size", type=int, default=256)
     p.add_argument("--nfreq", type=int, default=500)
     p.add_argument("--elements", type=int, default=1024)
+    p.add_argument("--latent-stride", type=int, default=1,
+                   help="latent-dt coarsening of the acoustic checkpoint")
     args = p.parse_args()
+
+    if os.path.exists(args.json_out) and not args.force:
+        sys.exit(f"refusing to overwrite {args.json_out} (pass --force or "
+                 "--json-out)")
 
     import glob
 
@@ -79,32 +88,36 @@ def main():
     space = w.build_triple_ring_design_space()
     kw = dict(elements=args.elements, h_size=args.h_size, nfreq=args.nfreq,
               integration_steps=100)
+    stride = args.latent_stride
+    akw = dict(kw, integration_steps=100 // stride, dt=1e-5 * stride)
 
     from __graft_entry__ import _tiny_batch
 
     results = {}
     specs = [
         ("acoustic", args.acoustic,
-         lambda: AcousticEnergyModel.create(design_space=space, source_freq=1000.0, **kw),
-         False),
+         lambda: AcousticEnergyModel.create(design_space=space, source_freq=1000.0, **akw),
+         False, stride),
         ("node", args.node,
-         lambda: NODEEnergyModel.create(design_space=space, **kw), True),
+         lambda: NODEEnergyModel.create(design_space=space, **kw), True, 1),
         ("pinn", args.pinn,
          lambda: WaveControlPINN.create(design_space=space, source_freq=1000.0, **kw),
-         False),
+         False, 1),
     ]
-    for name, ckpt, make, scalar_out in specs:
+    for name, ckpt, make, scalar_out, mstride in specs:
         if ckpt is None:
             continue
         model = make()
         like = model.init(jax.random.PRNGKey(0),
-                          _tiny_batch(model, B=1, horizon=1, steps=100, res=128))
+                          _tiny_batch(model, B=1, horizon=1,
+                                      steps=100 // mstride, res=128))
         params, _, _ = load_checkpoint(ckpt, like)
         results[name] = sweep(model, params, eps, args.horizons, args.batch,
-                              args.batches, scalar_out)
+                              args.batches, scalar_out, mstride)
 
-    with open("prediction_errors.json", "w") as f:
+    with open(args.json_out, "w") as f:
         json.dump({k: {str(h): v for h, v in r.items()} for k, r in results.items()}, f)
+    print(f"wrote {args.json_out}")
 
     import matplotlib
 

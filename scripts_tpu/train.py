@@ -35,7 +35,7 @@ from waves_jl_tpu.models import (
 from waves_jl_tpu.train import TrainConfig, train
 
 
-def load_dataset(data_dir: str, episodes: int, horizon: int, train_val_split: float = 0.9):
+def load_episodes_split(data_dir: str, episodes: int, train_val_split: float = 0.9):
     shard = (
         data_dir if data_dir.endswith(".wshard")
         else os.path.join(data_dir, "data.wshard")
@@ -53,22 +53,31 @@ def load_dataset(data_dir: str, episodes: int, horizon: int, train_val_split: fl
         assert paths, f"no episodes under {data_dir}"
         eps = [load_episode(p, device=False) for p in paths]
     idx = int(round(len(eps) * train_val_split))
-    train_eps, val_eps = eps[:idx], eps[idx:] or eps[-1:]
-    train_data = prepare_dataset(train_eps, horizon)
-    val_data = prepare_dataset(val_eps, horizon)
+    return eps[:idx], eps[idx:] or eps[-1:]
+
+
+def load_dataset(data_dir: str, episodes: int, horizon: int,
+                 train_val_split: float = 0.9, stride: int = 1):
+    train_eps, val_eps = load_episodes_split(data_dir, episodes, train_val_split)
+    train_data = prepare_dataset(train_eps, horizon, stride)
+    val_data = prepare_dataset(val_eps, horizon, stride)
     return train_data, val_data
 
 
 def build_model(name: str, steps: int, args):
     space = w.build_triple_ring_design_space()
+    stride = getattr(args, "latent_stride", 1)
+    assert steps % stride == 0, f"latent stride {stride} must divide {steps}"
     kw = dict(
         elements=args.elements, latent_grid_size=args.latent_gs,
-        h_size=args.h_size, nfreq=args.nfreq, integration_steps=steps,
+        h_size=args.h_size, nfreq=args.nfreq,
+        integration_steps=steps // stride,
     )
     if name == "acoustic":
         model = AcousticEnergyModel.create(
             design_space=space, source_freq=1000.0,
-            pml_width=args.pml_width, pml_scale=args.pml_scale, **kw,
+            pml_width=args.pml_width, pml_scale=args.pml_scale,
+            dt=1e-5 * stride, **kw,
         )
         return model, lambda p, b: energy_loss(model, p, b)
     if name == "node":
@@ -88,6 +97,15 @@ def main():
     p.add_argument("--model", choices=["acoustic", "node", "pinn"], default="acoustic")
     p.add_argument("--episodes", type=int, default=500)
     p.add_argument("--horizon", type=int, default=1)
+    p.add_argument("--horizons", type=int, nargs="+", default=None,
+                   help="mixed-horizon curriculum via the windowed store "
+                        "(round-robin scan chunks; one checkpoint for all "
+                        "horizons). Overrides --horizon.")
+    p.add_argument("--latent-stride", type=int, default=1,
+                   help="latent-dt coarsening factor: the surrogate "
+                        "integrates stride-times fewer latent steps per "
+                        "action window (dt scaled up to match); targets "
+                        "subsampled accordingly. acoustic model only.")
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--accumulate", type=int, default=8)
@@ -108,12 +126,33 @@ def main():
                         "(e.g. horizon-20 fine-tune of a horizon-8 run)")
     args = p.parse_args()
 
-    train_data, val_data = load_dataset(args.data, args.episodes, args.horizon)
-    model, loss_fn = build_model(args.model, args.steps, args)
-    # init on one minibatch, not the whole dataset (a full-dataset forward
-    # through the conv encoder OOMs at reference scale)
-    init_batch = jax.tree_util.tree_map(lambda x: x[: args.batch], train_data)
-    params = model.init(jax.random.PRNGKey(args.seed), init_batch)
+    if args.latent_stride > 1:
+        assert args.model == "acoustic", "--latent-stride is acoustic-only"
+
+    if args.horizons:
+        train_eps, val_eps = load_episodes_split(args.data, args.episodes)
+        model, loss_fn = build_model(args.model, args.steps, args)
+        from waves_jl_tpu.train import stack_episodes
+
+        # stack the (small) val store for init/plots; the train store is
+        # stacked (and mesh-sharded under --dp) inside train_windowed
+        store_v = stack_episodes(val_eps)
+        from waves_jl_tpu.train.windows import gather_window_batch
+
+        init_idx = jax.numpy.zeros((args.batch, 2), jax.numpy.int32)
+        init_batch = gather_window_batch(
+            store_v, init_idx, args.horizons[0], args.latent_stride
+        )
+        params = model.init(jax.random.PRNGKey(args.seed), init_batch)
+    else:
+        train_data, val_data = load_dataset(
+            args.data, args.episodes, args.horizon, stride=args.latent_stride
+        )
+        model, loss_fn = build_model(args.model, args.steps, args)
+        # init on one minibatch, not the whole dataset (a full-dataset forward
+        # through the conv encoder OOMs at reference scale)
+        init_batch = jax.tree_util.tree_map(lambda x: x[: args.batch], train_data)
+        params = model.init(jax.random.PRNGKey(args.seed), init_batch)
     if args.init_from:
         from waves_jl_tpu.train.checkpoint import load_checkpoint
 
@@ -129,14 +168,24 @@ def main():
     )
 
     def on_checkpoint(path, p_):
-        from waves_jl_tpu.data import dataloader
         from waves_jl_tpu.viz import (
             make_plots_acoustic,
             make_plots_node,
             make_plots_pinn,
         )
 
-        batch = next(iter(dataloader(val_data, args.batch, jax.random.PRNGKey(1))))
+        if args.horizons:
+            from waves_jl_tpu.train.windows import gather_window_batch
+
+            batch = gather_window_batch(
+                store_v,
+                jax.numpy.zeros((args.batch, 2), jax.numpy.int32),
+                args.horizons[-1], args.latent_stride,
+            )
+        else:
+            from waves_jl_tpu.data import dataloader
+
+            batch = next(iter(dataloader(val_data, args.batch, jax.random.PRNGKey(1))))
         try:
             if args.model == "acoustic":
                 make_plots_acoustic(model, p_, batch, path, samples=2)
@@ -153,8 +202,17 @@ def main():
 
         mesh = make_mesh(axis_name="data")
         print(f"data-parallel over {mesh.devices.size} devices")
-    train(loss_fn, params, train_data, val_data, config,
-          on_checkpoint=on_checkpoint, mesh=mesh)
+    if args.horizons:
+        from waves_jl_tpu.train import train_windowed
+
+        train_windowed(
+            loss_fn, params, train_eps, store_v, config,
+            horizons=tuple(args.horizons), stride=args.latent_stride,
+            mesh=mesh, on_checkpoint=on_checkpoint,
+        )
+    else:
+        train(loss_fn, params, train_data, val_data, config,
+              on_checkpoint=on_checkpoint, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,325 @@
+"""Windowed episode store, mixed-horizon/DP scan training, latent stride,
+CEM + fused-oracle controllers, and the scan-carry shot-energy fast path."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import waves_jl_tpu as w
+from waves_jl_tpu.control import (
+    CEMShooting,
+    RandomShooting,
+    make_oracle_episode_fused,
+    selection_tspan,
+)
+from waves_jl_tpu.data import generate_episode, prepare_data
+from waves_jl_tpu.env import RandomDesignPolicy, env_observe, env_reset, make_wave_env
+from waves_jl_tpu.models import AcousticEnergyModel, energy_loss
+from waves_jl_tpu.train import (
+    TrainConfig,
+    gather_window_batch,
+    make_dp_scan_train_steps_windowed,
+    make_scan_train_steps_windowed,
+    sample_window_indices,
+    stack_episodes,
+    store_sharding,
+    train_windowed,
+)
+from waves_jl_tpu.parallel import make_mesh
+
+E = 64
+STEPS = 8
+RES = (16, 16)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    dim = w.two_dim(15.0, 48)
+    grid = w.build_grid(dim)
+    source = w.GaussianSource.create(
+        grid, jnp.array([[-10.0, -10.0]]), jnp.array([[-10.0, 10.0]]),
+        jnp.array([0.3]), jnp.array([1.0]), 1000.0,
+    )
+    env = make_wave_env(
+        dim, w.build_triple_ring_design_space(), source,
+        resolution=RES, integration_steps=STEPS, actions=4,
+    )
+    policy = RandomDesignPolicy(env.action_space)
+    eps = [
+        generate_episode(env, policy, jax.random.PRNGKey(i))[1] for i in range(4)
+    ]
+    model = AcousticEnergyModel.create(
+        design_space=w.build_triple_ring_design_space(),
+        source_freq=1000.0, elements=E, h_size=8, nfreq=8,
+        integration_steps=STEPS,
+    )
+    data = prepare_data(eps[0], horizon=2)
+    params = model.init(jax.random.PRNGKey(0), data)
+    return env, eps, model, params
+
+
+def test_prepare_data_stride(setup):
+    env, eps, model, params = setup
+    d1 = prepare_data(eps[0], horizon=2)
+    d2 = prepare_data(eps[0], horizon=2, stride=2)
+    L = 2 * STEPS + 1
+    assert d1["t"].shape[-1] == L and d2["t"].shape[-1] == STEPS + 1
+    np.testing.assert_array_equal(np.asarray(d1["t"][:, ::2]), np.asarray(d2["t"]))
+    np.testing.assert_array_equal(np.asarray(d1["y"][:, ::2]), np.asarray(d2["y"]))
+    # non-strided fields untouched
+    np.testing.assert_array_equal(np.asarray(d1["s_wave"]), np.asarray(d2["s_wave"]))
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_gather_window_matches_prepare_data(setup, stride):
+    env, eps, model, params = setup
+    store = stack_episodes(eps)
+    horizon = 2
+    for e_i in (0, 2):
+        ref = prepare_data(eps[e_i], horizon, stride)
+        S = ref["s_wave"].shape[0]
+        idx = jnp.stack(
+            [jnp.full((S,), e_i, jnp.int32), jnp.arange(S, dtype=jnp.int32)], -1
+        )
+        got = jax.jit(
+            lambda st, ix: gather_window_batch(st, ix, horizon, stride)
+        )(store, idx)
+        for k in ("s_wave", "t", "y"):
+            np.testing.assert_allclose(
+                np.asarray(ref[k]), np.asarray(got[k]), rtol=0, atol=0
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref["a"]),
+            jax.tree_util.tree_leaves(got["a"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_windowed_scan_trainer_matches_dense(setup):
+    """Scan-of-K over the windowed store == scan-of-K over the materialized
+    dataset when fed the same effective minibatches."""
+    from waves_jl_tpu.train.loop import make_scan_train_steps
+
+    env, eps, model, params = setup
+    loss_fn = lambda p, b: energy_loss(model, p, b)
+    opt = optax.adam(1e-3)
+    horizon = 2
+
+    store = stack_episodes(eps)
+    # dense dataset over the same episodes, ordered (episode-major)
+    datasets = [prepare_data(ep, horizon) for ep in eps]
+    dense = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *datasets
+    )
+    S = datasets[0]["s_wave"].shape[0]
+
+    K, B = 3, 2
+    rng = np.random.default_rng(0)
+    widx = sample_window_indices(rng, len(eps), env.actions, horizon, K * B)
+    widx = widx.reshape(K, B, 2)
+    dense_idx = jnp.asarray(widx[..., 0] * S + widx[..., 1], jnp.int32)
+
+    run_w = make_scan_train_steps_windowed(loss_fn, opt, horizon)
+    run_d = make_scan_train_steps(loss_fn, opt)
+    pw, _, lw = run_w(params, opt.init(params), store, jnp.asarray(widx))
+    pd, _, ld = run_d(params, opt.init(params), dense, dense_idx)
+    np.testing.assert_allclose(np.asarray(lw), np.asarray(ld), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(pw), jax.tree_util.tree_leaves(pd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_dp_windowed_matches_single(setup):
+    """8-device DP windowed trainer == single-device on the same global
+    batches (episode axis sharded; per-device local indices)."""
+    env, eps, model, params = setup
+    eps8 = (eps * 2)[:8]
+    loss_fn = lambda p, b: energy_loss(model, p, b)
+    opt = optax.adam(1e-3)
+    horizon = 2
+    mesh = make_mesh(8, axis_name="data")
+
+    store = stack_episodes(eps8)
+    store_sh = stack_episodes(eps8, sharding=store_sharding(mesh))
+
+    K, B = 2, 8
+    rng = np.random.default_rng(1)
+    starts = rng.integers(0, env.actions - horizon + 1, size=(K, B))
+    # device d holds global episode d (E == n_devices): global idx episode=j
+    # on the single path, local episode=0 in block j on the DP path
+    g_idx = np.stack(
+        [np.broadcast_to(np.arange(B), (K, B)), starts], -1
+    ).astype(np.int32)
+    l_idx = g_idx.copy()
+    l_idx[..., 0] = 0
+
+    run_s = make_scan_train_steps_windowed(loss_fn, opt, horizon)
+    run_dp = make_dp_scan_train_steps_windowed(loss_fn, opt, mesh, horizon)
+    ps, _, ls = run_s(params, opt.init(params), store, jnp.asarray(g_idx))
+    pd, _, ld = run_dp(params, opt.init(params), store_sh, jnp.asarray(l_idx))
+    # pmean of 8 per-device gradients reassociates the 8-sample mean: allow
+    # float32 reduction-order noise, nothing more
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(ld), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(ps), jax.tree_util.tree_leaves(pd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-5)
+
+
+def test_train_windowed_mixed_horizons(setup, tmp_path):
+    env, eps, model, params = setup
+    loss_fn = lambda p, b: energy_loss(model, p, b)
+    config = TrainConfig(
+        lr=1e-3, batch_size=2, accumulate=1, epochs=2, val_every=4,
+        val_batches=1, checkpoint_dir=str(tmp_path),
+    )
+    p2, _, logger = train_windowed(
+        loss_fn, params, eps, eps[-1:], config, horizons=(1, 3),
+        windows_per_horizon=8,
+    )
+    assert logger.history
+    last = logger.history[-1]
+    assert np.isfinite(last["train_loss"])
+    assert "val_loss_h1" in last and "val_loss_h3" in last
+
+
+def test_train_windowed_dp_smoke(setup):
+    env, eps, model, params = setup
+    loss_fn = lambda p, b: energy_loss(model, p, b)
+    mesh = make_mesh(4, axis_name="data")
+    config = TrainConfig(lr=1e-3, batch_size=4, accumulate=1, epochs=1,
+                         val_every=2, val_batches=1)
+    p2, _, logger = train_windowed(
+        loss_fn, params, eps, eps[-1:], config, horizons=(2,),
+        mesh=mesh, windows_per_horizon=8,
+    )
+    assert logger.history
+    assert np.isfinite(logger.history[-1]["train_loss"])
+
+
+def test_predict_shot_energy_matches_predict_shots(setup):
+    env, eps, model, params = setup
+    state = env_reset(env, jax.random.PRNGKey(5))
+    obs = env_observe(env, state)
+    shots, horizon = 4, 2
+    from waves_jl_tpu.control import build_action_sequence
+
+    actions = build_action_sequence(
+        env.action_space, jax.random.PRNGKey(6), horizon, shots
+    )
+    t = selection_tspan(model, env, state, horizon, shots)
+    y = model.predict_shots(params, obs.wave, state.design, actions, t)
+    e_ref = np.asarray(jnp.sum(y[:, :, 2], axis=1))
+    e_fast = np.asarray(
+        jax.jit(model.predict_shot_energy)(
+            params, obs.wave, state.design, actions, t
+        )
+    )
+    np.testing.assert_allclose(e_ref, e_fast, rtol=2e-5, atol=1e-7)
+
+
+def test_selection_tspan_coarse_latent(setup):
+    """A stride-2 surrogate (dt doubled, steps halved) evaluates half the
+    sequential latent steps over the same physical window."""
+    env, eps, model, params = setup
+    coarse = AcousticEnergyModel.create(
+        design_space=w.build_triple_ring_design_space(),
+        source_freq=1000.0, elements=E, h_size=8, nfreq=8,
+        integration_steps=STEPS // 2, dt=2e-5,
+    )
+    state = env_reset(env, jax.random.PRNGKey(1))
+    t_f = selection_tspan(model, env, state, 2, 4)
+    t_c = selection_tspan(coarse, env, state, 2, 4)
+    assert t_f.shape == (4, 2 * STEPS + 1)
+    assert t_c.shape == (4, STEPS + 1)
+    np.testing.assert_allclose(
+        np.asarray(t_f[:, -1]), np.asarray(t_c[:, -1]), rtol=1e-6
+    )
+    # the coarse model's params have identical structure -> reuse; and the
+    # whole selection path runs
+    mpc = RandomShooting(model=coarse, horizon=2, shots=4)
+    a, info = jax.jit(lambda p, s, k: mpc(p, env, s, k))(
+        params, state, jax.random.PRNGKey(2)
+    )
+    assert np.isfinite(np.asarray(info["cost"])).all()
+
+
+def test_cem_monotone_and_bounded(setup):
+    env, eps, model, params = setup
+    state = env_reset(env, jax.random.PRNGKey(7))
+    rs = RandomShooting(model=model, horizon=2, shots=8, alpha=1.0)
+    cem = CEMShooting(model=model, horizon=2, shots=8, alpha=1.0, iters=2,
+                      elites=2)
+    key = jax.random.PRNGKey(8)
+    _, info_r = jax.jit(lambda p, s, k: rs(p, env, s, k))(params, state, key)
+    a, info_c = jax.jit(lambda p, s, k: cem(p, env, s, k))(params, state, key)
+    # elites are carried: the final best can never be worse than any round's
+    assert np.isfinite(np.asarray(info_c["cost"])).all()
+    # action respects the box
+    r = np.asarray(a.config.cylinders.r)
+    scale = float(env.action_space.high.config.cylinders.r[0])
+    assert (np.abs(r) <= scale + 1e-5).all()
+    # CEM's chosen cost is its population min
+    assert float(info_c["cost"][info_c["idx"]]) == float(info_c["cost"].min())
+
+
+def test_cem_improves_on_random_round0(setup):
+    """With the same key, CEM round 0 IS the random-shooting population, so
+    its final (elite-carried) best cost must be <= that population's best."""
+    env, eps, model, params = setup
+    state = env_reset(env, jax.random.PRNGKey(9))
+    key = jax.random.PRNGKey(10)
+    k0 = jax.random.split(key)[1]
+    rs = RandomShooting(model=model, horizon=2, shots=8, alpha=1.0)
+    _, info_r = rs(params, env, state, k0)
+    cem = CEMShooting(model=model, horizon=2, shots=8, alpha=1.0, iters=2,
+                      elites=2)
+    _, info_c = cem(params, env, state, key)
+    assert float(info_c["cost"].min()) <= float(info_r["cost"].min()) + 1e-6
+
+
+def test_oracle_episode_fused(setup):
+    env, eps, model, params = setup
+    run = make_oracle_episode_fused(env, horizon=2, shots=2, interpret=True)
+    state = env_reset(env, jax.random.PRNGKey(11))
+    final, signals, costs = run(state, jax.random.PRNGKey(12))
+    assert signals.shape == (env.actions, STEPS + 1, 3)
+    assert costs.shape == (env.actions,)
+    assert np.isfinite(np.asarray(signals)).all()
+    assert int(final.time_step) == env.actions * STEPS
+
+
+def test_static_list_tuple_roundtrip():
+    """encode_structure tags tuples so list-typed static fields survive
+    save/load (round-2 ADVICE item)."""
+    from waves_jl_tpu.utils.trees import (
+        _decode_static,
+        _encode_static,
+        decode_structure,
+        encode_structure,
+    )
+
+    assert _decode_static(_encode_static((1, 2))) == (1, 2)
+    assert _decode_static(_encode_static([1, 2])) == [1, 2]
+    assert _decode_static(_encode_static([(1, 2), [3]])) == [(1, 2), [3]]
+    # legacy bare-list form decodes as tuple (pre-tag era stored tuples)
+    assert _decode_static([1, 2]) == (1, 2)
+
+    import json
+
+    from waves_jl_tpu.utils.trees import register_pytree_dataclass
+
+    @register_pytree_dataclass(meta_fields=("shape", "tags"))
+    @dataclasses.dataclass(frozen=True)
+    class _StaticMix:
+        x: jax.Array
+        shape: tuple
+        tags: list
+
+    obj = _StaticMix(x=jnp.arange(3.0), shape=(4, 5), tags=["a", "b"])
+    desc = encode_structure(obj)
+    assert json.dumps(desc)  # JSON-able
+    rebuilt = decode_structure(desc, {".x": obj.x}.__getitem__)
+    assert rebuilt.shape == (4, 5) and isinstance(rebuilt.shape, tuple)
+    assert rebuilt.tags == ["a", "b"] and isinstance(rebuilt.tags, list)
+    np.testing.assert_array_equal(np.asarray(obj.x), np.asarray(rebuilt.x))

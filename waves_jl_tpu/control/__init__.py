@@ -1,8 +1,11 @@
 from .mpc import (
+    CEMShooting,
     OracleShooting,
     GradientShooting,
     RandomShooting,
     make_mpc_episode_fused,
+    make_oracle_episode_fused,
     build_action_sequence,
     compute_action_cost,
+    selection_tspan,
 )

@@ -177,13 +177,16 @@ def generate_episodes_chunked(env: WaveEnv, policy, key: jax.Array,
     out = []
 
     def dispatch(start: int, key):
+        # always dispatch a FULL chunk (a ragged tail would recompile the
+        # whole-episode program for the leftover size — minutes of compile
+        # for a few episodes); surplus episodes are dropped in collect()
         k_this = min(chunk, episodes - start)
         k_reset, k_act = jax.random.split(key)
         states = jax.vmap(lambda kk: env_reset(env, kk))(
-            jax.random.split(k_reset, k_this)
+            jax.random.split(k_reset, chunk)
         )
-        akeys = jax.random.split(k_act, k_this * env.actions).reshape(
-            k_this, env.actions, 2
+        akeys = jax.random.split(k_act, chunk * env.actions).reshape(
+            chunk, env.actions, 2
         )
         actions = jax.vmap(jax.vmap(policy))(akeys)
         return k_this, run_chunk(states, actions)
@@ -237,21 +240,30 @@ def split_episode_batch(batched) -> list:
     return [tree_index(eps, i) for i in range(n)]
 
 
-def prepare_data(episode: Episode, horizon: int):
+def prepare_data(episode: Episode, horizon: int, stride: int = 1):
     """Sliding-window horizon batching (reference `prepare_data`,
     `src/data.jl:35-58`).
+
+    ``stride`` subsamples the joined time grid by keeping every stride-th
+    point (action boundaries are preserved when stride divides the window
+    step count) — the training view for coarse-latent-dt surrogates
+    (`AcousticEnergyModel.create(dt=stride*env_dt,
+    integration_steps=steps//stride)`), which cut the sequential latent
+    step count of MPC action selection by the same factor.
 
     Returns a dict of stacked samples with leading axis
     S = A - horizon + 1:
       s_wave   (S, res, res, 4)
       s_design design pytree (S, ...)
       a        action pytree (S, horizon, ...)
-      t        (S, horizon*T + 1) joined tspans
-      y        (S, horizon*T + 1, 3) joined signals
+      t        (S, horizon*T//stride + 1) joined tspans
+      y        (S, horizon*T//stride + 1, 3) joined signals
     """
     A = len(episode)
     S = A - horizon + 1
     assert S >= 1, f"horizon {horizon} > episode length {A}"
+    T = episode.s_tspan.shape[-1] - 1
+    assert T % stride == 0, f"stride {stride} must divide window steps {T}"
     idx = jnp.arange(S)
 
     win = idx[:, None] + jnp.arange(horizon)[None, :]  # (S, horizon)
@@ -266,6 +278,9 @@ def prepare_data(episode: Episode, horizon: int):
     y_win = episode.y[win]  # (S, horizon, T+1, 3)
     y = flatten_repeated_last_dim(jnp.moveaxis(y_win, -1, 1))  # (S, 3, L)
     y = jnp.moveaxis(y, 1, -1)  # (S, L, 3)
+    if stride > 1:
+        t = t[:, ::stride]
+        y = y[:, ::stride]
 
     return {"s_wave": s_wave, "s_design": s_design, "a": a, "t": t, "y": y}
 
@@ -406,7 +421,7 @@ def load_episode(path: str, like: Episode | None = None, device: bool = True) ->
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
-def prepare_dataset(episodes: list[Episode], horizon: int) -> dict:
+def prepare_dataset(episodes: list[Episode], horizon: int, stride: int = 1) -> dict:
     """Window a homogeneous list of episodes into one training dict in ONE
     device program: stack on host, upload once, vmapped `prepare_data`,
     flatten (E, S, ...) -> (E*S, ...). Replaces per-episode prepare+concat
@@ -417,7 +432,7 @@ def prepare_dataset(episodes: list[Episode], horizon: int) -> dict:
 
     @jax.jit
     def prep(eps):
-        data = jax.vmap(lambda ep: prepare_data(ep, horizon))(eps)
+        data = jax.vmap(lambda ep: prepare_data(ep, horizon, stride))(eps)
         return jax.tree_util.tree_map(
             lambda x: x.reshape((-1,) + x.shape[2:]), data
         )

@@ -193,6 +193,29 @@ class AcousticEnergyModel:
         z = self.generate_latent_solution(params, batch)
         return compute_latent_energy(z, self.dx)
 
+    def encode_wave(self, params, obs_wave) -> jax.Array:
+        """(6, E) latent fields for ONE observation (res, res, C)."""
+        return self.wave_encoder.apply(params["wave_encoder"], obs_wave[None])[0]
+
+    def _shot_setup(self, params, obs_wave, s_design, actions, t, x=None):
+        """Shared single-observation/S-shot preparation: broadcast the
+        encoded wave, build the per-shot latent speed interpolant."""
+        S = t.shape[0]
+        if x is None:
+            x = self.encode_wave(params, obs_wave)  # (6, E)
+        xb = jnp.broadcast_to(x[None], (S, *x.shape))
+        z0 = xb[:, 0:4]
+        F = Source(shape=xb[:, 4], freq=jnp.float32(self.source_freq))
+        PML = xb[:, 5]
+        s_design_s = jax.tree_util.tree_map(
+            lambda v: jnp.broadcast_to(v[None], (S, *v.shape)), s_design
+        )
+        C = design_encoder_apply(
+            self.design_mlp, params["design_encoder"], self.design_space,
+            s_design_s, actions, t, self.integration_steps,
+        )
+        return z0, (C, F, PML)
+
     def predict_shots(self, params, obs_wave, s_design, actions, t) -> jax.Array:
         """MPC selection fast path: ONE observation, S candidate action
         sequences -> (S, L, 3) energies. The generic batch path runs the
@@ -204,21 +227,35 @@ class AcousticEnergyModel:
         obs_wave (res, res, C); s_design: single design pytree;
         actions: (S, H) action pytree; t (S, L).
         """
-        S = t.shape[0]
-        x = self.wave_encoder.apply(params["wave_encoder"], obs_wave[None])  # (1,6,E)
-        x = jnp.broadcast_to(x, (S, *x.shape[1:]))
-        z0 = x[:, 0:4]
-        F = Source(shape=x[:, 4], freq=jnp.float32(self.source_freq))
-        PML = x[:, 5]
-        s_design_s = jax.tree_util.tree_map(
-            lambda v: jnp.broadcast_to(v[None], (S, *v.shape)), s_design
-        )
-        C = design_encoder_apply(
-            self.design_mlp, params["design_encoder"], self.design_space,
-            s_design_s, actions, t, self.integration_steps,
-        )
-        z = self.integrator(z0, t, (C, F, PML))
+        z0, theta = self._shot_setup(params, obs_wave, s_design, actions, t)
+        z = self.integrator(z0, t, theta)
         return compute_latent_energy(z, self.dx)
+
+    def predict_shot_energy(self, params, obs_wave, s_design, actions, t,
+                            x=None) -> jax.Array:
+        """Fastest MPC selection path: (S,) CUMULATIVE scattered energy
+        (== `predict_shots(...)[:, :, 2].sum(axis=1)`, the RandomShooting
+        cost) accumulated in the scan carry — the (L, S, 4, E) latent
+        trajectory is never materialized, killing ~2x its HBM write+read
+        traffic during action selection. `x` optionally passes a
+        precomputed `encode_wave` result so iterated controllers (CEM)
+        do not re-run the conv encoder per refinement round."""
+        z0, theta = self._shot_setup(params, obs_wave, s_design, actions, t, x)
+        dx = self.dx
+
+        def sc_energy(z):
+            sc = (z[:, 0] - z[:, 2]).astype(jnp.float32)
+            return jnp.sum(sc * sc, axis=-1) * dx  # (S,)
+
+        ts = jnp.swapaxes(t, 0, 1)[:-1]  # (L-1, S)
+
+        def body(carry, tt):
+            z, acc = carry
+            z2 = self.integrator.step(z, tt, theta)
+            return (z2, acc + sc_energy(z2)), None
+
+        (_, acc), _ = jax.lax.scan(body, (z0, sc_energy(z0)), ts)
+        return acc
 
 
 def energy_loss(model: AcousticEnergyModel, params, batch) -> jax.Array:

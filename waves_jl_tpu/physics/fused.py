@@ -75,13 +75,20 @@ def pad_profiles(pml2d: jax.Array, n: int, tile_interior: int):
 
 
 def make_fused_window(env: WaveEnv, tile_interior: int = 48, interpret: bool = False,
-                      steps_per_call: int | None = None):
+                      steps_per_call: int | None = None,
+                      x_matmul: bool = True, radii_only: bool | None = None):
     """Jitted fused action window mirroring `env_step`'s physics.
 
     Returns window(u_pad, shape_pad, prof_x, prof_y, tspan, cyl) ->
     (u_pad_final, frames(list), signal) where frames are the padded states
     at the frameskip boundaries and signal is (steps+1, 3) energies
     (d_omega applied).
+
+    ``x_matmul=False`` selects the exact roll-stencil x-derivatives
+    (~3e-7 window parity vs the XLA path) instead of the default 2-pass
+    bf16-split MXU form (~1e-5 grade, +18% faster); ``radii_only`` forces
+    the owner-selection rasterization fast path on/off (default: auto via
+    `radii_only_ok`).
     """
     n = env.dim.shape[0]
     spacing = float(2.0 * float(env.dim.x[-1]) / (n - 1))
@@ -100,10 +107,11 @@ def make_fused_window(env: WaveEnv, tile_interior: int = 48, interpret: bool = F
         n=n, spacing=spacing, dt=env.dt, c0=float(env.c0), freq=freq,
         n_cyl=n_cyl, x_min=x_min, tile_interior=tile_interior,
         interpret=interpret, steps_per_call=spc,
-        radii_only=radii_only_ok(env.design_space),
-        # x-derivatives on the otherwise-idle MXU (+18%, parity 2e-6/window
-        # via the 2-pass bf16 split — see PERF_NOTES.md)
-        x_matmul=True,
+        radii_only=radii_only_ok(env.design_space) if radii_only is None
+        else radii_only,
+        # default: x-derivatives on the otherwise-idle MXU (+18%, parity
+        # 2e-6/window via the 2-pass bf16 split — see PERF_NOTES.md)
+        x_matmul=x_matmul,
     )
     d_omega = spacing * spacing
     assert all(seg % spc == 0 for seg in seg_lens), (seg_lens, spc)
@@ -142,13 +150,17 @@ def _design_space_n_cyl(env: WaveEnv) -> int:
 
 
 def make_env_step_fused(env: WaveEnv, tile_interior: int = 48, interpret: bool = False,
-                        steps_per_call: int | None = None, jit: bool = True):
+                        steps_per_call: int | None = None, jit: bool = True,
+                        x_matmul: bool = True, radii_only: bool | None = None):
     """Drop-in fused replacement for `env_step`: returns a jitted
     step(state, action) -> (state', info). With ``jit=False`` the raw
     traceable step is returned, for embedding inside a larger program
-    (e.g. the whole-episode scan in `data.make_episode_fused`)."""
+    (e.g. the whole-episode scan in `data.make_episode_fused`).
+    ``x_matmul``/``radii_only`` select kernel variants (see
+    `make_fused_window`)."""
     n = env.dim.shape[0]
-    window = make_fused_window(env, tile_interior, interpret, steps_per_call)
+    window = make_fused_window(env, tile_interior, interpret, steps_per_call,
+                               x_matmul=x_matmul, radii_only=radii_only)
     from ..ops.pallas_fd import unpad_state
 
     def step(state: EnvState, action):

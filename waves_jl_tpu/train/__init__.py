@@ -5,5 +5,18 @@ from .loop import (
     make_optimizer,
     make_train_step,
     train,
+    train_windowed,
     validate,
+)
+from .windows import (
+    episode_axes,
+    gather_window,
+    gather_window_batch,
+    make_dp_scan_train_steps_windowed,
+    make_scan_eval_windowed,
+    make_scan_train_steps_windowed,
+    sample_window_indices,
+    sample_window_indices_dp,
+    stack_episodes,
+    store_sharding,
 )

@@ -16,9 +16,10 @@ class MetricsLogger:
     """Append-only JSONL metrics log; also keeps in-memory history.
 
     `tensorboard_dir` additionally mirrors numeric values as TensorBoard
-    scalars (via jax's bundled tensorboardX-compatible writer if available;
-    silently disabled otherwise — TB is a viewer convenience, never a
-    dependency).
+    scalars, via `torch.utils.tensorboard` (cpu torch is baked into this
+    image) or the standalone `tensorboardX` package as a fallback. When
+    neither writer imports, a one-time warning is printed and mirroring is
+    disabled — TB is a viewer convenience, never a dependency.
     """
 
     def __init__(self, path: str | None = None, tensorboard_dir: str | None = None):
@@ -31,12 +32,28 @@ class MetricsLogger:
             self._f = None
         self._tb = None
         if tensorboard_dir:
+            SummaryWriter = None
             try:
-                from torch.utils.tensorboard import SummaryWriter  # cpu torch is baked in
-
-                self._tb = SummaryWriter(tensorboard_dir)
+                from torch.utils.tensorboard import SummaryWriter
             except Exception:
-                self._tb = None
+                try:
+                    from tensorboardX import SummaryWriter
+                except Exception:
+                    SummaryWriter = None
+            if SummaryWriter is not None:
+                try:
+                    self._tb = SummaryWriter(tensorboard_dir)
+                except Exception:
+                    self._tb = None
+            if self._tb is None:
+                import warnings
+
+                warnings.warn(
+                    "tensorboard_dir was given but no TensorBoard writer is "
+                    "importable (tried torch.utils.tensorboard, tensorboardX)"
+                    " — scalar mirroring disabled",
+                    stacklevel=2,
+                )
 
     def log(self, **kv):
         rec = {"time": time.time(), **kv}

@@ -45,7 +45,7 @@ def encode_structure(obj) -> object:
             "__dataclass__": name,
             "fields": {
                 f.name: (
-                    {"__static__": getattr(obj, f.name)}
+                    {"__static__": _encode_static(getattr(obj, f.name))}
                     if f.name in meta
                     else encode_structure(getattr(obj, f.name))
                 )
@@ -64,6 +64,29 @@ def encode_structure(obj) -> object:
     return {"__leaf__": True}
 
 
+def _encode_static(val):
+    """JSON-encode a static (meta) field value, tagging tuples explicitly so
+    decode does not have to guess list-vs-tuple (JSON collapses both to
+    lists)."""
+    if isinstance(val, tuple):
+        return {"__tuple__": [_encode_static(v) for v in val]}
+    if isinstance(val, list):
+        return {"__list__": [_encode_static(v) for v in val]}
+    return val
+
+
+def _decode_static(val):
+    if isinstance(val, dict) and "__tuple__" in val:
+        return tuple(_decode_static(v) for v in val["__tuple__"])
+    if isinstance(val, dict) and "__list__" in val:
+        return [_decode_static(v) for v in val["__list__"]]
+    if isinstance(val, list):
+        # legacy (pre-tag) descriptor: tuples were stored as bare JSON
+        # lists; registered meta fields of that era were tuple-typed
+        return tuple(_decode_static(v) for v in val)
+    return val
+
+
 def decode_structure(desc, get_leaf, prefix: str = ""):
     """Rebuild a pytree from an `encode_structure` descriptor; `get_leaf` maps
     a keystr path (e.g. ``.s_design.config.cylinders.pos``) to an array. Path
@@ -73,8 +96,7 @@ def decode_structure(desc, get_leaf, prefix: str = ""):
         kwargs = {}
         for fname, fdesc in desc["fields"].items():
             if isinstance(fdesc, dict) and "__static__" in fdesc:
-                val = fdesc["__static__"]
-                kwargs[fname] = tuple(val) if isinstance(val, list) else val
+                kwargs[fname] = _decode_static(fdesc["__static__"])
             else:
                 kwargs[fname] = decode_structure(fdesc, get_leaf, f"{prefix}.{fname}")
         return cls(**kwargs)
