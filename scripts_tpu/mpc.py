@@ -243,6 +243,9 @@ def main():
         render_episode(
             env, lambda k, s: mpc_jit(params, s, k)[0], key,
             args.render, field="sc", bound=0.2, energy=True,
+            # on-device downsample keeps the 700^2 episode's host pull at
+            # ~MBs (the frames are a view; energies stay full-resolution)
+            render_size=min(350, args.n),
         )
 
 

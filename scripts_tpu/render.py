@@ -27,6 +27,9 @@ def main():
     p.add_argument("--bound", type=float, default=1.0)
     p.add_argument("--energy", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--render-size", type=int, default=None,
+                   help="on-device frame downsampling (e.g. 350 for a 700^2 "
+                        "sim rendered at 350^2; host pull drops ~4 GB -> MBs)")
     args = p.parse_args()
 
     env = build_env(args.n, 100, args.actions)
@@ -34,6 +37,7 @@ def main():
     signals = render_episode(
         env, policy, jax.random.PRNGKey(args.seed), args.out,
         field=args.field, bound=args.bound, energy=args.energy,
+        render_size=args.render_size,
     )
     print(f"rendered {args.out}; final window scattered energy "
           f"{float(signals[-1, -1, 2]):.4g}")

@@ -111,6 +111,8 @@ def main():
     p.add_argument("--accumulate", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--val-every", type=int, default=20)
+    p.add_argument("--val-batches", type=int, default=None,
+                   help="validation minibatches per pass (default: val-every)")
     p.add_argument("--h-size", type=int, default=256)
     p.add_argument("--nfreq", type=int, default=500)
     p.add_argument("--elements", type=int, default=1024)
@@ -163,7 +165,7 @@ def main():
     config = TrainConfig(
         lr=args.lr, batch_size=args.batch, accumulate=args.accumulate,
         epochs=args.epochs, val_every=args.val_every,
-        val_batches=args.val_every, checkpoint_dir=args.out,
+        val_batches=args.val_batches or args.val_every, checkpoint_dir=args.out,
         metrics_path=os.path.join(args.out, "metrics.jsonl"), seed=args.seed,
     )
 

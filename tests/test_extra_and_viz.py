@@ -136,6 +136,30 @@ def test_render_episode(tmp_path):
         or (tmp_path / "ep").exists()
     )
 
+    # downsampled on-device render path: frames shrink, signals exact
+    from waves_jl_tpu.env import env_reset, env_step_full
+    from waves_jl_tpu.viz.episode import rollout_fields
+
+    state = env_reset(env, jax.random.PRNGKey(3))
+    action = env.action_space.sample(jax.random.PRNGKey(4))
+    _, info_full = env_step_full(env, state, action)
+    s2, info_ds = env_step_full(env, state, action, render_size=24, time_stride=5)
+    assert info_ds["u_tot"].shape == (3, 24, 24)
+    assert info_ds["tspan"].shape == (3,)
+    np.testing.assert_allclose(
+        np.asarray(info_full["tspan"][::5]), np.asarray(info_ds["tspan"])
+    )
+    # the state signal is computed from the full-resolution trajectory
+    np.testing.assert_allclose(
+        np.asarray(s2.signal), np.asarray(env_step_full(env, state, action)[0].signal)
+    )
+    times, frames, designs, sigs = rollout_fields(
+        env, policy, jax.random.PRNGKey(5), stride=5, render_size=24
+    )
+    assert frames.shape[1:] == (24, 24)
+    assert len(times) == len(frames) == len(designs)
+    assert np.isfinite(frames).all()
+
 
 def test_scripts_importable():
     """Workflow scripts import and expose their builders."""

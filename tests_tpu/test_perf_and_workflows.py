@@ -1,0 +1,109 @@
+"""Hardware perf floors + workflow smokes (round-2 VERDICT weak #7):
+
+- throughput floor: a silent Mosaic perf regression ships green without
+  one (everything still compiles); the kernel must hold >= 7,000 steps/s
+  at the production 700^2 operating point (record: 7,560).
+- fused MPC-episode program smoke: the north-star code path end-to-end on
+  hardware (observe -> shot selection -> argmin -> Pallas window, scanned).
+- shard-store datagen round-trip: the streaming C++ shard writer/reader on
+  a real generated episode.
+"""
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import waves_jl_tpu as w
+from waves_jl_tpu.env import RandomDesignPolicy, env_reset, make_wave_env
+from waves_jl_tpu.physics.fused import make_env_step_fused
+
+
+def _env(n=700, steps=100, actions=3, resolution=(128, 128)):
+    dim = w.two_dim(15.0, n)
+    grid = w.build_grid(dim)
+    source = w.GaussianSource.create(
+        grid, jnp.array([[-10.0, -10.0]]), jnp.array([[-10.0, 10.0]]),
+        jnp.array([0.3]), jnp.array([1.0]), 1000.0,
+    )
+    return make_wave_env(
+        dim, w.build_triple_ring_design_space(), source,
+        resolution=resolution, integration_steps=steps, actions=actions,
+    )
+
+
+def test_throughput_floor():
+    """>= 7,000 fused RK4 steps/s at 700^2 (bench.py harness conditions:
+    100-step window, warm). Guards the radii-only + x_matmul fast paths."""
+    env = _env()
+    state = env_reset(env, jax.random.PRNGKey(0))
+    action = RandomDesignPolicy(env.action_space)(jax.random.PRNGKey(1))
+    step = make_env_step_fused(env)
+    state2, _ = step(state, action)  # compile + warm
+    jax.block_until_ready(state2.wave)
+    iters = 5
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(iters):
+        s, _ = step(s, action)
+    jax.block_until_ready(s.wave)
+    dt = time.perf_counter() - t0
+    steps_per_s = iters * env.integration_steps / dt
+    assert steps_per_s >= 7000, f"throughput regression: {steps_per_s:.0f} steps/s"
+
+
+def test_fused_mpc_episode_smoke():
+    """One tiny-but-real MPC episode through the fused whole-episode program
+    (the BASELINE north-star path) on hardware: finite signals, advances to
+    termination, chosen costs are argmins of finite cost vectors."""
+    from waves_jl_tpu.control import RandomShooting, make_mpc_episode_fused
+    from waves_jl_tpu.models import AcousticEnergyModel
+
+    env = _env(n=700, steps=100, actions=2)
+    model = AcousticEnergyModel.create(
+        design_space=w.build_triple_ring_design_space(), source_freq=1000.0,
+        elements=256, h_size=32, nfreq=32, integration_steps=25, dt=4e-5,
+    )
+    from __graft_entry__ import _tiny_batch
+
+    params = model.init(
+        jax.random.PRNGKey(0), _tiny_batch(model, B=1, horizon=1, steps=25, res=128)
+    )
+    mpc = RandomShooting(model=model, horizon=2, shots=8, alpha=1.0)
+    run = make_mpc_episode_fused(env, mpc)
+    state = env_reset(env, jax.random.PRNGKey(1))
+    final, signals, costs = run(params, state, jax.random.PRNGKey(2))
+    assert signals.shape == (2, 101, 3)
+    assert np.isfinite(np.asarray(signals)).all()
+    assert np.isfinite(np.asarray(costs)).all()
+    assert int(final.time_step) == 2 * 100
+
+
+def test_shard_datagen_roundtrip(tmp_path):
+    """Generate one real 256^2 episode on the fused path, stream it through
+    the native shard store, and reload bit-exact."""
+    from waves_jl_tpu.data import (
+        generate_episode_fused,
+        load_episodes_shard,
+        open_episodes_shard,
+    )
+
+    env = _env(n=256, steps=20, actions=2)
+    policy = RandomDesignPolicy(env.action_space)
+    step = make_env_step_fused(env)
+    _, ep = generate_episode_fused(env, policy, jax.random.PRNGKey(3), step)
+
+    path = str(tmp_path / "t.wshard")
+    try:
+        shard = open_episodes_shard(path)
+    except Exception:
+        pytest.skip("native shard store unavailable")
+    shard.append(ep)
+    shard.finish()
+    assert os.path.exists(path)
+    eps = load_episodes_shard(path)
+    assert len(eps) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(ep), jax.tree_util.tree_leaves(eps[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -209,10 +209,18 @@ def env_step(env: WaveEnv, state: EnvState, action) -> tuple[EnvState, dict]:
     return new_state, info
 
 
-def env_step_full(env: WaveEnv, state: EnvState, action):
+def env_step_full(env: WaveEnv, state: EnvState, action,
+                  render_size: int | None = None, time_stride: int = 1):
     """Like env_step but also returns the full displacement trajectories
     (u_tot, u_inc): (steps+1, nx, ny) each — the reference's return value
-    (`src/env.jl:120`), used for rendering."""
+    (`src/env.jl:120`), used for rendering.
+
+    `render_size`/`time_stride` downsample the returned trajectories ON
+    DEVICE (`jax.image.resize` + time stride) so a reference-resolution
+    700^2 episode render pulls ~MBs through the host link instead of ~4 GB
+    of full-resolution frames (the energies in `state.signal` stay exact /
+    full-resolution). Physics is unaffected — this is a view of the
+    trajectory, not a coarser simulation."""
     tspan = env_tspan(env, state)
     ti = env_time(env, state)
     next_design = env.design_space(state.design, action)
@@ -242,7 +250,17 @@ def env_step_full(env: WaveEnv, state: EnvState, action):
         signal=signal,
         time_step=state.time_step + env.integration_steps,
     )
-    return new_state, {"tspan": tspan, "u_tot": u_tot, "u_inc": u_inc, "interp": interp}
+    if time_stride > 1:
+        u_tot, u_inc = u_tot[::time_stride], u_inc[::time_stride]
+        tspan_out = tspan[::time_stride]
+    else:
+        tspan_out = tspan
+    if render_size is not None and render_size < env.dim.shape[0]:
+        shape = (u_tot.shape[0], render_size, render_size)
+        u_tot = jax.image.resize(u_tot, shape, method="linear")
+        u_inc = jax.image.resize(u_inc, shape, method="linear")
+    return new_state, {"tspan": tspan_out, "u_tot": u_tot, "u_inc": u_inc,
+                       "interp": interp}
 
 
 def env_step_flux(env: WaveEnv, state: EnvState, action, mask_radius: float = 2.0):

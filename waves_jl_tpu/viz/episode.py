@@ -24,17 +24,27 @@ def rollout_fields(
     field: str = "tot",
     stride: int = 10,
     state=None,
+    render_size: int | None = None,
 ):
     """Roll a full episode collecting the chosen displacement field at a
-    time stride. Returns (times, frames (T, nx, ny), designs-per-frame,
-    signals (A, steps+1, 3))."""
+    time stride. Returns (times, frames (T, ry, rx), designs-per-frame,
+    signals (A, steps+1, 3)).
+
+    `render_size` downsamples frames ON DEVICE before the host pull
+    (`env_step_full(render_size=...)`) — at 700^2 a full episode is ~MBs
+    instead of ~4 GB through the host link; energies stay exact.
+    """
     assert field in ("tot", "inc", "sc")
     if state is None:
         key, k = jax.random.split(key)
         state = env_reset(env, k)
 
     frames, times, designs, signals = [], [], [], []
-    step_full = jax.jit(lambda s, a: env_step_full(env, s, a))
+    step_full = jax.jit(
+        lambda s, a: env_step_full(env, s, a, render_size=render_size,
+                                   time_stride=stride)
+    )
+    first = True
     while not bool(env_terminated(env, state)):
         key, k = jax.random.split(key)
         try:
@@ -46,11 +56,11 @@ def rollout_fields(
         u_tot = np.asarray(info["u_tot"])
         u_inc = np.asarray(info["u_inc"])
         u = {"tot": u_tot, "inc": u_inc, "sc": u_tot - u_inc}[field]
-        tspan = np.asarray(info["tspan"])
-        start = 0 if not frames else 1  # drop shared endpoint frame
-        sel = range(start, len(tspan), stride)
+        tspan = np.asarray(info["tspan"])  # already time-strided on device
+        start = 0 if first else 1  # drop shared endpoint frame
+        first = False
         interp = DesignInterpolator(d1, state.design, tspan[0], tspan[-1])
-        for i in sel:
+        for i in range(start, len(tspan)):
             frames.append(u[i])
             times.append(tspan[i])
             designs.append(jax.device_get(interp(tspan[i])))
@@ -69,11 +79,13 @@ def render_episode(
     energy: bool = False,
     stride: int = 10,
     state=None,
+    render_size: int | None = None,
 ):
     """Render one episode to video; returns the per-window signals
     (the reference's `render!` returns sigma)."""
     times, frames, designs, signals = rollout_fields(
-        env, policy, key, field=field, stride=stride, state=state
+        env, policy, key, field=field, stride=stride, state=state,
+        render_size=render_size,
     )
     gs = float(env.dim.x[-1])
     extent = (-gs, gs, -gs, gs)
