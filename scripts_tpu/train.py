@@ -30,6 +30,7 @@ from waves_jl_tpu.models import (
     WaveControlPINN,
     WaveControlPINNLoss,
     energy_loss,
+    energy_loss_ranking,
     node_loss,
 )
 from waves_jl_tpu.train import TrainConfig, train
@@ -79,6 +80,10 @@ def build_model(name: str, steps: int, args):
             pml_width=args.pml_width, pml_scale=args.pml_scale,
             dt=1e-5 * stride, **kw,
         )
+        if getattr(args, "loss", "mse") == "ranking":
+            return model, lambda p, b: energy_loss_ranking(
+                model, p, b, beta=args.ranking_beta
+            )
         return model, lambda p, b: energy_loss(model, p, b)
     if name == "node":
         model = NODEEnergyModel.create(design_space=space, **kw)
@@ -120,6 +125,10 @@ def main():
     p.add_argument("--pml-width", type=float, default=10.0)
     p.add_argument("--pml-scale", type=float, default=10000.0)
     p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--loss", choices=["mse", "ranking"], default="mse",
+                   help="'ranking' adds a cumulative-scattered-energy term "
+                        "(the MPC shot-selection cost) — acoustic only")
+    p.add_argument("--ranking-beta", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp", action="store_true",
                    help="data-parallel over all devices via shard_map")

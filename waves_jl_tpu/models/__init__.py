@@ -3,6 +3,7 @@ from .acoustic_energy_model import (
     SinusoidalSource,
     compute_latent_energy,
     energy_loss,
+    energy_loss_ranking,
 )
 from .design_encoder import DesignMLP, design_encoder_apply, unroll_design_sequence
 from .node import NODEDynamics, NODEEnergyModel, node_loss

@@ -262,3 +262,21 @@ def energy_loss(model: AcousticEnergyModel, params, batch) -> jax.Array:
     """MSE on all three energy channels (reference `scripts/main.jl:10-12`)."""
     pred = model(params, batch)
     return jnp.mean((pred - batch["y"]) ** 2)
+
+
+def energy_loss_ranking(model: AcousticEnergyModel, params, batch,
+                        beta: float = 1.0) -> jax.Array:
+    """Curve MSE + a term on the TIME-CUMULATIVE scattered energy — the
+    quantity MPC shooting actually ranks candidates by
+    (`RandomShooting`: sum_t sc). Aligns training with selection quality:
+    round-2 showed pointwise val MSE does not order MPC performance.
+    The cumulative term is normalized per step so beta ~ 1 balances the
+    two at typical curve scales."""
+    pred = model(params, batch)
+    curve = jnp.mean((pred - batch["y"]) ** 2)
+    L = pred.shape[1]
+    cum = jnp.mean(
+        ((jnp.sum(pred[:, :, 2], axis=1) - jnp.sum(batch["y"][:, :, 2], axis=1))
+         / L) ** 2
+    )
+    return curve + beta * cum
