@@ -30,7 +30,6 @@ from waves_jl_tpu.control import (
     CEMShooting,
     GradientShooting,
     RandomShooting,
-    make_oracle_episode_fused,
 )
 from waves_jl_tpu.env import (
     RandomDesignPolicy,
@@ -155,10 +154,23 @@ def main():
     # pressure around the Pallas call past the 16 MB budget at tile 48;
     # tile 40 costs ~3% on the env windows and compiles in both programs
     if args.controller == "oracle":
-        run_oracle = make_oracle_episode_fused(
+        # per-action dispatches: the tunneled worker kills single dispatches
+        # past ~1 min, which a whole-episode 64+-shot oracle exceeds
+        from waves_jl_tpu.control import make_oracle_action_fused
+
+        oracle_act, oracle_step = make_oracle_action_fused(
             env, horizon=args.horizon, shots=args.shots, alpha=args.alpha
         )
-        run_mpc = lambda pm, s, k: run_oracle(s, k)
+
+        def run_mpc(pm, s, k):
+            signals, costs = [], []
+            for _ in range(env.actions):
+                k, kk = jax.random.split(k)
+                a, c = oracle_act(s, kk)
+                s, _ = oracle_step(s, a)
+                signals.append(s.signal)
+                costs.append(c)
+            return s, jnp.stack(signals), jnp.stack(costs)
     else:
         run_mpc = make_mpc_episode_fused(
             env, mpc, tile_interior=40 if args.fast else 48

@@ -288,6 +288,27 @@ def test_oracle_episode_fused(setup):
     assert np.isfinite(np.asarray(signals)).all()
     assert int(final.time_step) == env.actions * STEPS
 
+    # per-action variant (dispatch-length-limited backends) matches the
+    # whole-episode program exactly: same keys -> same actions -> same costs
+    from waves_jl_tpu.control import make_oracle_action_fused
+
+    act, ostep = make_oracle_action_fused(env, horizon=2, shots=2, interpret=True)
+    s = state
+    keys = jax.random.split(jax.random.PRNGKey(12), env.actions)
+    sigs2, costs2 = [], []
+    for k in keys:
+        a, c = act(s, k)
+        s, _ = ostep(s, a)
+        sigs2.append(s.signal)
+        costs2.append(c)
+    np.testing.assert_allclose(
+        np.asarray(signals), np.stack([np.asarray(x) for x in sigs2]),
+        rtol=1e-5, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(costs), np.asarray(costs2), rtol=1e-5
+    )
+
 
 def test_static_list_tuple_roundtrip():
     """encode_structure tags tuples so list-typed static fields survive

@@ -4,6 +4,7 @@ from .mpc import (
     GradientShooting,
     RandomShooting,
     make_mpc_episode_fused,
+    make_oracle_action_fused,
     make_oracle_episode_fused,
     build_action_sequence,
     compute_action_cost,

@@ -275,33 +275,20 @@ def make_oracle_episode_fused(env: WaveEnv, horizon: int = 5, shots: int = 16,
 
     Returns run(state, key) -> (final_state, signals (A, T+1, 3),
     chosen_costs (A,)).
+
+    ``per_action=True`` (see below) splits the episode into one dispatch
+    per action instead of one whole-episode program: the axon-tunneled TPU
+    worker kills single dispatches running longer than ~1 minute, which a
+    256-shot whole-episode oracle exceeds (measured crash); per-action
+    dispatches are ~shots x horizon x window / 7,500 s each.
     """
     from ..physics.fused import make_env_step_fused
 
     step = make_env_step_fused(env, tile_interior, interpret, jit=False)
+    act = _oracle_act(env, step, horizon, shots, alpha)
 
     @jax.jit
     def run(state: EnvState, key: jax.Array):
-        def act(st, k):
-            actions = build_action_sequence(env.action_space, k, horizon, shots)
-            penalty = compute_action_cost(actions)
-
-            def one_shot(carry, acts_s):
-                def roll(st_h, a):
-                    st2, _ = step(st_h, a)
-                    # signal[0] duplicates the previous window's final row:
-                    # count each integration step once
-                    return st2, jnp.sum(st2.signal[1:, 2])
-
-                _, scs = jax.lax.scan(roll, st, acts_s)
-                return carry, jnp.sum(scs)
-
-            _, energies = jax.lax.scan(one_shot, None, actions)
-            cost = energies + alpha * penalty
-            idx = jnp.argmin(cost)
-            first = jax.tree_util.tree_map(lambda v: v[idx, 0], actions)
-            return first, cost[idx]
-
         def body(st, k):
             a, chosen = act(st, k)
             st2, _ = step(st, a)
@@ -312,6 +299,50 @@ def make_oracle_episode_fused(env: WaveEnv, horizon: int = 5, shots: int = 16,
         return final, signals, costs
 
     return run
+
+
+def _oracle_act(env: WaveEnv, step, horizon: int, shots: int, alpha: float):
+    """Traceable shots x horizon true-simulator selection: sequential scan
+    over shots (peak memory = one grid state), inner scan over the horizon's
+    fused env windows."""
+
+    def act(st, k):
+        actions = build_action_sequence(env.action_space, k, horizon, shots)
+        penalty = compute_action_cost(actions)
+
+        def one_shot(carry, acts_s):
+            def roll(st_h, a):
+                st2, _ = step(st_h, a)
+                # signal[0] duplicates the previous window's final row:
+                # count each integration step once
+                return st2, jnp.sum(st2.signal[1:, 2])
+
+            _, scs = jax.lax.scan(roll, st, acts_s)
+            return carry, jnp.sum(scs)
+
+        _, energies = jax.lax.scan(one_shot, None, actions)
+        cost = energies + alpha * penalty
+        idx = jnp.argmin(cost)
+        first = jax.tree_util.tree_map(lambda v: v[idx, 0], actions)
+        return first, cost[idx]
+
+    return act
+
+
+def make_oracle_action_fused(env: WaveEnv, horizon: int = 5, shots: int = 16,
+                             alpha: float = 1.0, tile_interior: int = 48,
+                             interpret: bool = False):
+    """Per-action oracle programs for dispatch-length-limited backends:
+    returns (act, step) where act(state, key) -> (action, chosen_cost) is one
+    jitted shots x horizon true-simulator selection and step(state, action)
+    applies it. An episode is 2*A dispatches of bounded length instead of
+    `make_oracle_episode_fused`'s single long program (the axon-tunneled
+    TPU worker kills dispatches running past ~1 minute — measured crash at
+    64 shots x 20 actions in one program)."""
+    from ..physics.fused import make_env_step_fused
+
+    step = make_env_step_fused(env, tile_interior, interpret, jit=False)
+    return jax.jit(_oracle_act(env, step, horizon, shots, alpha)), jax.jit(step)
 
 
 @dataclass(frozen=True)
