@@ -69,9 +69,9 @@ def scattered_tail_mean(signals):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True)
-    p.add_argument("--checkpoint", default=None,
-                   help="surrogate checkpoint (not needed for --controller "
-                        "oracle)")
+    p.add_argument("--checkpoint", default=None, nargs="+",
+                   help="surrogate checkpoint(s); several for --controller "
+                        "ensemble (not needed for --controller oracle)")
     p.add_argument("--episodes", type=int, default=4)
     p.add_argument("--locations", type=int, default=5,
                    help="fixed source y-locations (reference scripts/test.jl)")
@@ -83,8 +83,11 @@ def main():
     p.add_argument("--actions", type=int, default=20)
     p.add_argument("--n", type=int, default=700)
     p.add_argument("--controller",
-                   choices=["random_shooting", "cem", "gradient", "oracle"],
+                   choices=["random_shooting", "cem", "gradient", "oracle",
+                            "ensemble"],
                    default="random_shooting")
+    p.add_argument("--beta", type=float, default=1.0,
+                   help="ensemble disagreement-penalty weight")
     p.add_argument("--cem-iters", type=int, default=3)
     p.add_argument("--cem-elites", type=int, default=32)
     p.add_argument("--latent-stride", type=int, default=1,
@@ -124,8 +127,14 @@ def main():
             _tiny_batch(model, B=1, horizon=1,
                         steps=100 // args.latent_stride, res=128),
         )
-        params, _, step_no = load_checkpoint(args.checkpoint, params_like)
-        print(f"loaded checkpoint step {step_no}")
+        loaded = []
+        for ck in args.checkpoint:
+            pm, _, step_no = load_checkpoint(ck, params_like)
+            loaded.append(pm)
+            print(f"loaded checkpoint step {step_no} ({ck})")
+        params = tuple(loaded) if args.controller == "ensemble" else loaded[0]
+        if args.controller != "ensemble" and len(loaded) > 1:
+            sys.exit("multiple checkpoints require --controller ensemble")
 
     if args.fast:
         model = model.fast_ranking()
@@ -137,6 +146,12 @@ def main():
         mpc = CEMShooting(model=model, horizon=args.horizon, shots=args.shots,
                           alpha=args.alpha, iters=args.cem_iters,
                           elites=args.cem_elites)
+    elif args.controller == "ensemble":
+        from waves_jl_tpu.control import EnsembleShooting
+
+        mpc = EnsembleShooting(models=tuple(model for _ in params),
+                               horizon=args.horizon, shots=args.shots,
+                               alpha=args.alpha, beta=args.beta)
     elif args.controller == "oracle":
         mpc = None  # true-simulator shooting; no surrogate in the loop
     else:
@@ -230,7 +245,10 @@ def main():
         "percentage_decrease": per_location,
         "mean_decrease": float(np.mean(per_location)),
         "controller": args.controller,
-        "checkpoint": args.checkpoint,
+        "checkpoint": (args.checkpoint[0]
+                       if args.checkpoint and len(args.checkpoint) == 1
+                       else args.checkpoint),
+        "beta": args.beta if args.controller == "ensemble" else None,
         "actions": args.actions,
         "shots": args.shots,
         "horizon": args.horizon,

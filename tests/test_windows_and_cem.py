@@ -278,6 +278,38 @@ def test_cem_improves_on_random_round0(setup):
     assert float(info_c["cost"].min()) <= float(info_r["cost"].min()) + 1e-6
 
 
+def test_ensemble_shooting(setup):
+    """A one-member beta=0 ensemble IS random shooting (same key -> same
+    action); two members with beta>0 adds the disagreement penalty."""
+    from waves_jl_tpu.control import EnsembleShooting
+
+    env, eps, model, params = setup
+    state = env_reset(env, jax.random.PRNGKey(13))
+    key = jax.random.PRNGKey(14)
+    rs = RandomShooting(model=model, horizon=2, shots=8, alpha=1.0)
+    ens1 = EnsembleShooting(models=(model,), horizon=2, shots=8, alpha=1.0,
+                            beta=0.0)
+    a_r, info_r = rs(params, env, state, key)
+    a_e, info_e = ens1((params,), env, state, key)
+    np.testing.assert_allclose(
+        np.asarray(info_r["cost"]), np.asarray(info_e["cost"]), rtol=1e-6
+    )
+    assert int(info_r["idx"]) == int(info_e["idx"])
+
+    # second member: perturbed params -> nonzero disagreement, higher cost
+    params2 = jax.tree_util.tree_map(lambda x: x * 1.05, params)
+    ens2 = EnsembleShooting(models=(model, model), horizon=2, shots=8,
+                            alpha=1.0, beta=1.0)
+    a2, info2 = jax.jit(lambda p, s, k: ens2(p, env, s, k))(
+        (params, params2), state, key
+    )
+    assert np.isfinite(np.asarray(info2["cost"])).all()
+    ens2_b0 = EnsembleShooting(models=(model, model), horizon=2, shots=8,
+                               alpha=1.0, beta=0.0)
+    _, info2_b0 = ens2_b0((params, params2), env, state, key)
+    assert (np.asarray(info2["cost"]) >= np.asarray(info2_b0["cost"]) - 1e-7).all()
+
+
 def test_oracle_episode_fused(setup):
     env, eps, model, params = setup
     run = make_oracle_episode_fused(env, horizon=2, shots=2, interpret=True)

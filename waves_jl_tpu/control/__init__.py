@@ -1,5 +1,6 @@
 from .mpc import (
     CEMShooting,
+    EnsembleShooting,
     OracleShooting,
     GradientShooting,
     RandomShooting,

@@ -105,6 +105,45 @@ class RandomShooting:
         return first, {"cost": cost, "idx": idx}
 
 
+@dataclass(frozen=True)
+class EnsembleShooting:
+    """Random shooting ranked by a surrogate ENSEMBLE: the cost of a
+    candidate sequence is the ensemble-mean predicted scattered energy plus
+    `beta` times the ensemble disagreement (stddev across members) — a
+    pessimism-under-uncertainty term that steers the search away from
+    regions where the surrogates extrapolate differently (and are therefore
+    individually unreliable rankers). Members are independently trained
+    checkpoints (different objectives / fine-tunes), passed as a tuple of
+    param trees; the beyond-reference lever of VERDICT round-2 item 2
+    (reference baseline: single-model shooting, `scripts/mpc.jl:19-53`).
+    """
+
+    models: Any  # tuple of surrogates, one per member (usually same arch)
+    horizon: int = 5
+    shots: int = 256
+    alpha: float = 1.0
+    beta: float = 1.0
+
+    def __call__(self, params_tuple, env: WaveEnv, state: EnvState, key: jax.Array):
+        actions = build_action_sequence(env.action_space, key, self.horizon, self.shots)
+        obs = env_observe(env, state)
+        energies = []
+        for model, params in zip(self.models, params_tuple):
+            t = selection_tspan(model, env, state, self.horizon, self.shots)
+            energies.append(
+                model.predict_shot_energy(params, obs.wave, state.design, actions, t)
+            )
+        e = jnp.stack(energies)  # (members, shots)
+        cost = (
+            jnp.mean(e, axis=0)
+            + self.beta * jnp.std(e, axis=0)
+            + self.alpha * compute_action_cost(actions)
+        )
+        idx = jnp.argmin(cost)
+        first = jax.tree_util.tree_map(lambda x: x[idx, 0], actions)
+        return first, {"cost": cost, "idx": idx}
+
+
 def _tree_normal(key: jax.Array, like):
     """Standard-normal pytree with `like`'s leaf shapes/dtypes."""
     leaves, treedef = jax.tree_util.tree_flatten(like)
