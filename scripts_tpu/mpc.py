@@ -84,10 +84,12 @@ def main():
     p.add_argument("--n", type=int, default=700)
     p.add_argument("--controller",
                    choices=["random_shooting", "cem", "gradient", "oracle",
-                            "ensemble"],
+                            "ensemble", "hybrid"],
                    default="random_shooting")
     p.add_argument("--beta", type=float, default=1.0,
                    help="ensemble disagreement-penalty weight")
+    p.add_argument("--topk", type=int, default=8,
+                   help="hybrid: candidates the true simulator re-ranks")
     p.add_argument("--cem-iters", type=int, default=3)
     p.add_argument("--cem-elites", type=int, default=32)
     p.add_argument("--latent-stride", type=int, default=1,
@@ -152,8 +154,8 @@ def main():
         mpc = EnsembleShooting(models=tuple(model for _ in params),
                                horizon=args.horizon, shots=args.shots,
                                alpha=args.alpha, beta=args.beta)
-    elif args.controller == "oracle":
-        mpc = None  # true-simulator shooting; no surrogate in the loop
+    elif args.controller in ("oracle", "hybrid"):
+        mpc = None  # selection is built below (per-action fused programs)
     else:
         mpc = GradientShooting(model=model, horizon=args.horizon,
                                shots=max(8, args.shots // 8), alpha=args.alpha)
@@ -183,6 +185,23 @@ def main():
                 k, kk = jax.random.split(k)
                 a, c = oracle_act(s, kk)
                 s, _ = oracle_step(s, a)
+                signals.append(s.signal)
+                costs.append(c)
+            return s, jnp.stack(signals), jnp.stack(costs)
+    elif args.controller == "hybrid":
+        from waves_jl_tpu.control import make_hybrid_action_fused
+
+        hybrid_act, hybrid_step = make_hybrid_action_fused(
+            env, model, horizon=args.horizon, shots=args.shots,
+            topk=args.topk, alpha=args.alpha
+        )
+
+        def run_mpc(pm, s, k):
+            signals, costs = [], []
+            for _ in range(env.actions):
+                k, kk = jax.random.split(k)
+                a, c = hybrid_act(pm, s, kk)
+                s, _ = hybrid_step(s, a)
                 signals.append(s.signal)
                 costs.append(c)
             return s, jnp.stack(signals), jnp.stack(costs)
@@ -249,6 +268,7 @@ def main():
                        if args.checkpoint and len(args.checkpoint) == 1
                        else args.checkpoint),
         "beta": args.beta if args.controller == "ensemble" else None,
+        "topk": args.topk if args.controller == "hybrid" else None,
         "actions": args.actions,
         "shots": args.shots,
         "horizon": args.horizon,

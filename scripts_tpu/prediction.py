@@ -84,7 +84,16 @@ def main():
         glob.glob(os.path.join(args.data, "episodes", "episode*.npz"))
         + glob.glob(os.path.join(args.data, "episodes", "episode*.wbin"))
     )
-    eps = [load_episode(pth) for pth in paths[-args.episodes :]]
+    if paths:
+        eps = [load_episode(pth) for pth in paths[-args.episodes :]]
+    else:
+        # `datagen --format shard` stores the whole dataset in one mmap
+        from waves_jl_tpu.data import load_episodes_shard
+
+        eps = load_episodes_shard(
+            os.path.join(args.data, "data.wshard"), limit=args.episodes
+        )
+    print(f"{len(eps)} evaluation episodes", flush=True)
     space = w.build_triple_ring_design_space()
     kw = dict(elements=args.elements, h_size=args.h_size, nfreq=args.nfreq,
               integration_steps=100)

@@ -342,6 +342,36 @@ def test_oracle_episode_fused(setup):
     )
 
 
+def test_hybrid_action_fused(setup):
+    """Hybrid = surrogate prune -> true-sim re-rank. With topk == shots the
+    pruning is a no-op, so the chosen action must equal the oracle's for
+    the same key; with topk < shots the chosen true cost can never beat
+    the full oracle's."""
+    from waves_jl_tpu.control import make_hybrid_action_fused, make_oracle_action_fused
+
+    env, eps, model, params = setup
+    state = env_reset(env, jax.random.PRNGKey(15))
+    key = jax.random.PRNGKey(16)
+    o_act, _ = make_oracle_action_fused(env, horizon=2, shots=4, interpret=True)
+    h_act, h_step = make_hybrid_action_fused(
+        env, model, horizon=2, shots=4, topk=4, interpret=True
+    )
+    a_o, c_o = o_act(state, key)
+    a_h, c_h = h_act(params, state, key)
+    np.testing.assert_allclose(float(c_o), float(c_h), rtol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(a_o), jax.tree_util.tree_leaves(a_h)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
+
+    h2_act, _ = make_hybrid_action_fused(
+        env, model, horizon=2, shots=4, topk=2, interpret=True
+    )
+    _, c_h2 = h2_act(params, state, key)
+    assert float(c_h2) >= float(c_o) - 1e-6
+    # applying the action advances the env
+    s2, _ = h_step(state, a_h)
+    assert int(s2.time_step) == STEPS
+
+
 def test_static_list_tuple_roundtrip():
     """encode_structure tags tuples so list-typed static fields survive
     save/load (round-2 ADVICE item)."""

@@ -4,6 +4,7 @@ from .mpc import (
     OracleShooting,
     GradientShooting,
     RandomShooting,
+    make_hybrid_action_fused,
     make_mpc_episode_fused,
     make_oracle_action_fused,
     make_oracle_episode_fused,

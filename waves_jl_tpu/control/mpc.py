@@ -384,6 +384,56 @@ def make_oracle_action_fused(env: WaveEnv, horizon: int = 5, shots: int = 16,
     return jax.jit(_oracle_act(env, step, horizon, shots, alpha)), jax.jit(step)
 
 
+def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
+                             shots: int = 256, topk: int = 8,
+                             alpha: float = 1.0, tile_interior: int = 48,
+                             interpret: bool = False):
+    """Surrogate-pruned true-simulator MPC: the surrogate ranks `shots`
+    candidate sequences in one batched latent rollout (cheap), the TRUE
+    fused-kernel simulator re-evaluates only the `topk` best, and the
+    final choice minimizes the *simulated* cost. Sits between pure
+    surrogate shooting (fast, ranking-fidelity-limited) and
+    OracleShooting (exact, shots x horizon full-grid windows): per action
+    it pays `topk * horizon` fused env windows instead of
+    `shots * horizon` — a beyond-reference controller; the reference only
+    ever ranks with one model (`scripts/mpc.jl:19-53`).
+
+    Returns (act, step): act(params, state, key) -> (action, chosen true
+    cost) as ONE jitted dispatch of bounded length (tunneled workers kill
+    >1 min dispatches), step(state, action) applies it.
+    """
+    from ..physics.fused import make_env_step_fused
+
+    step = make_env_step_fused(env, tile_interior, interpret, jit=False)
+
+    def act(params, st, k):
+        actions = build_action_sequence(env.action_space, k, horizon, shots)
+        penalty = compute_action_cost(actions)
+        obs = env_observe(env, st)
+        t = selection_tspan(model, env, st, horizon, shots)
+        energy = model.predict_shot_energy(
+            params, obs.wave, st.design, actions, t
+        )
+        _, best = jax.lax.top_k(-(energy + alpha * penalty), topk)
+        elite = jax.tree_util.tree_map(lambda v: v[best], actions)
+
+        def one_shot(carry, acts_s):
+            def roll(st_h, a):
+                st2, _ = step(st_h, a)
+                return st2, jnp.sum(st2.signal[1:, 2])
+
+            _, scs = jax.lax.scan(roll, st, acts_s)
+            return carry, jnp.sum(scs)
+
+        _, true_energy = jax.lax.scan(one_shot, None, elite)
+        cost = true_energy + alpha * penalty[best]
+        idx = jnp.argmin(cost)
+        first = jax.tree_util.tree_map(lambda v: v[idx, 0], elite)
+        return first, cost[idx]
+
+    return jax.jit(act), jax.jit(step)
+
+
 @dataclass(frozen=True)
 class GradientShooting:
     """Gradient-based MPC: refine a population of action sequences by
