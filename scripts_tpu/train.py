@@ -36,7 +36,7 @@ from waves_jl_tpu.models import (
 from waves_jl_tpu.train import TrainConfig, train
 
 
-def load_episodes_split(data_dir: str, episodes: int, train_val_split: float = 0.9):
+def _load_episodes_dir(data_dir: str, episodes: int):
     shard = (
         data_dir if data_dir.endswith(".wshard")
         else os.path.join(data_dir, "data.wshard")
@@ -44,17 +44,28 @@ def load_episodes_split(data_dir: str, episodes: int, train_val_split: float = 0
     if os.path.exists(shard):
         from waves_jl_tpu.data import load_episodes_shard
 
-        eps = load_episodes_shard(shard, limit=episodes)
-    else:
-        paths = sorted(
-            glob.glob(os.path.join(data_dir, "episodes", "episode*.npz"))
-            + glob.glob(os.path.join(data_dir, "episodes", "episode*.wbin")),
-            key=lambda p: int("".join(c for c in os.path.basename(p) if c.isdigit())),
-        )[:episodes]
-        assert paths, f"no episodes under {data_dir}"
-        eps = [load_episode(p, device=False) for p in paths]
-    idx = int(round(len(eps) * train_val_split))
-    return eps[:idx], eps[idx:] or eps[-1:]
+        return load_episodes_shard(shard, limit=episodes)
+    paths = sorted(
+        glob.glob(os.path.join(data_dir, "episodes", "episode*.npz"))
+        + glob.glob(os.path.join(data_dir, "episodes", "episode*.wbin")),
+        key=lambda p: int("".join(c for c in os.path.basename(p) if c.isdigit())),
+    )[:episodes]
+    assert paths, f"no episodes under {data_dir}"
+    return [load_episode(p, device=False) for p in paths]
+
+
+def load_episodes_split(data_dir, episodes: int, train_val_split: float = 0.9):
+    """Load and 90/10-split episodes. `data_dir` may be a list of dataset
+    dirs (e.g. random-policy + on-policy); the split is applied per dir so
+    validation covers every source distribution, `episodes` caps each dir."""
+    dirs = [data_dir] if isinstance(data_dir, str) else list(data_dir)
+    train_eps, val_eps = [], []
+    for d in dirs:
+        eps = _load_episodes_dir(d, episodes)
+        idx = int(round(len(eps) * train_val_split))
+        train_eps.extend(eps[:idx])
+        val_eps.extend(eps[idx:] or eps[-1:])
+    return train_eps, val_eps
 
 
 def load_dataset(data_dir: str, episodes: int, horizon: int,
@@ -97,7 +108,9 @@ def build_model(name: str, steps: int, args):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--data", required=True)
+    p.add_argument("--data", required=True, nargs="+",
+                   help="dataset dir(s); several dirs are concatenated "
+                        "(e.g. random-policy + on-policy fine-tune mixes)")
     p.add_argument("--out", required=True)
     p.add_argument("--model", choices=["acoustic", "node", "pinn"], default="acoustic")
     p.add_argument("--episodes", type=int, default=500)

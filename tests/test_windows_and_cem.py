@@ -372,6 +372,34 @@ def test_hybrid_action_fused(setup):
     assert int(s2.time_step) == STEPS
 
 
+def test_mpc_episode_recorded(setup):
+    """On-policy recorded episodes have the standard Episode layout, are
+    windowable by prepare_data, and the epsilon action mixing actually
+    swaps in random actions (epsilon 0 vs 1 diverge from the same key)."""
+    from waves_jl_tpu.control import make_mpc_episode_recorded
+
+    env, eps, model, params = setup
+    mpc = RandomShooting(model=model, horizon=2, shots=4, alpha=1.0)
+    state = env_reset(env, jax.random.PRNGKey(20))
+    key = jax.random.PRNGKey(21)
+
+    run0 = make_mpc_episode_recorded(env, mpc, epsilon=0.0, interpret=True)
+    final, ep = run0(params, state, key)
+    ref = eps[0]
+    assert ep.s_wave.shape == ref.s_wave.shape
+    assert ep.y.shape == ref.y.shape
+    assert np.isfinite(np.asarray(ep.y)).all()
+    assert int(final.time_step) == env.actions * STEPS
+    data = prepare_data(ep, horizon=2)
+    assert data["s_wave"].shape[0] == env.actions - 1
+
+    run1 = make_mpc_episode_recorded(env, mpc, epsilon=1.0, interpret=True)
+    _, ep1 = run1(params, state, key)
+    r0 = np.asarray(ep.a.config.cylinders.r)
+    r1 = np.asarray(ep1.a.config.cylinders.r)
+    assert not np.allclose(r0, r1)
+
+
 def test_static_list_tuple_roundtrip():
     """encode_structure tags tuples so list-typed static fields survive
     save/load (round-2 ADVICE item)."""

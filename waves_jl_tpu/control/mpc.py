@@ -434,6 +434,52 @@ def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
     return jax.jit(act), jax.jit(step)
 
 
+def make_mpc_episode_recorded(env: WaveEnv, mpc, epsilon: float = 0.0,
+                              tile_interior: int = 48, interpret: bool = False):
+    """Whole MPC-controlled episode that records the full `Episode` pytree
+    (observations, chosen actions, tspans, signals) — on-policy dataset
+    generation for closing the surrogate's train/control distribution gap
+    (the states MPC visits are systematically lower-energy than the random
+    policy's, and ranking fidelity on those states is what selection
+    quality depends on; beyond-reference — the reference trains on random
+    episodes only, `scripts/data.jl:53-76`).
+
+    With probability `epsilon` per action window the controller's choice is
+    replaced by a uniform random action: pure-MPC episodes contain only
+    near-optimal action windows, which starves a fine-tune of the contrast
+    it needs to rank arbitrary candidates from on-policy states.
+
+    Returns run(params, state, key) -> (final_state, Episode), jitted; one
+    device dispatch per episode like `make_mpc_episode_fused`.
+    """
+    from ..data import Episode
+    from ..physics.fused import make_env_step_fused
+
+    step = make_env_step_fused(env, tile_interior, interpret, jit=False)
+
+    @jax.jit
+    def run(params, state: EnvState, key: jax.Array):
+        def body(st, k):
+            k_sel, k_rnd, k_mix = jax.random.split(k, 3)
+            obs = env_observe(env, st)
+            a_mpc, _ = mpc(params, env, st, k_sel)
+            a_rnd = env.action_space.sample(k_rnd)
+            use_rnd = jax.random.bernoulli(k_mix, epsilon)
+            a = jax.tree_util.tree_map(
+                lambda m, r: jnp.where(use_rnd, r, m), a_mpc, a_rnd
+            )
+            st2, info = step(st, a)
+            return st2, (obs.wave, obs.design, info["tspan"], a, st2.signal)
+
+        keys = jax.random.split(key, env.actions)
+        final, (s_wave, s_design, s_tspan, a, y) = jax.lax.scan(body, state, keys)
+        return final, Episode(
+            s_wave=s_wave, s_design=s_design, s_tspan=s_tspan, a=a, y=y
+        )
+
+    return run
+
+
 @dataclass(frozen=True)
 class GradientShooting:
     """Gradient-based MPC: refine a population of action sequences by
