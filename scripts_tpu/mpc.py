@@ -90,6 +90,9 @@ def main():
                    help="ensemble disagreement-penalty weight")
     p.add_argument("--topk", type=int, default=8,
                    help="hybrid: candidates the true simulator re-ranks")
+    p.add_argument("--hybrid-cem", action="store_true",
+                   help="hybrid: prune a CEM-refined pool instead of raw "
+                        "uniform samples")
     p.add_argument("--cem-iters", type=int, default=3)
     p.add_argument("--cem-elites", type=int, default=32)
     p.add_argument("--latent-stride", type=int, default=1,
@@ -191,9 +194,15 @@ def main():
     elif args.controller == "hybrid":
         from waves_jl_tpu.control import make_hybrid_action_fused
 
+        searcher = None
+        if args.hybrid_cem:
+            searcher = CEMShooting(
+                model=model, horizon=args.horizon, shots=args.shots,
+                alpha=args.alpha, iters=args.cem_iters, elites=args.cem_elites,
+            )
         hybrid_act, hybrid_step = make_hybrid_action_fused(
             env, model, horizon=args.horizon, shots=args.shots,
-            topk=args.topk, alpha=args.alpha
+            topk=args.topk, alpha=args.alpha, searcher=searcher
         )
 
         def run_mpc(pm, s, k):

@@ -145,6 +145,11 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp", action="store_true",
                    help="data-parallel over all devices via shard_map")
+    p.add_argument("--stream", action="store_true",
+                   help="host-resident episode store with per-dispatch "
+                        "window upload — removes the HBM dataset-size cap "
+                        "(use for >~700 reference-width episodes); "
+                        "single-device, fixed --horizon only")
     p.add_argument("--init-from", type=str, default=None,
                    help="checkpoint dir to initialize params from "
                         "(e.g. horizon-20 fine-tune of a horizon-8 run)")
@@ -153,7 +158,16 @@ def main():
     if args.latent_stride > 1:
         assert args.model == "acoustic", "--latent-stride is acoustic-only"
 
-    if args.horizons:
+    if args.stream:
+        assert not args.horizons and not args.dp, \
+            "--stream is single-device, fixed-horizon"
+        train_eps, val_eps = load_episodes_split(args.data, args.episodes)
+        print(f"streaming over {len(train_eps)} host-resident episodes")
+        val_data = prepare_dataset(val_eps, args.horizon, args.latent_stride)
+        model, loss_fn = build_model(args.model, args.steps, args)
+        init_batch = jax.tree_util.tree_map(lambda x: x[: args.batch], val_data)
+        params = model.init(jax.random.PRNGKey(args.seed), init_batch)
+    elif args.horizons:
         train_eps, val_eps = load_episodes_split(args.data, args.episodes)
         model, loss_fn = build_model(args.model, args.steps, args)
         from waves_jl_tpu.train import stack_episodes
@@ -226,7 +240,15 @@ def main():
 
         mesh = make_mesh(axis_name="data")
         print(f"data-parallel over {mesh.devices.size} devices")
-    if args.horizons:
+    if args.stream:
+        from waves_jl_tpu.train import train_streaming
+
+        train_streaming(
+            loss_fn, params, train_eps, val_data, config,
+            horizon=args.horizon, stride=args.latent_stride,
+            on_checkpoint=on_checkpoint,
+        )
+    elif args.horizons:
         from waves_jl_tpu.train import train_windowed
 
         train_windowed(

@@ -372,6 +372,37 @@ def test_hybrid_action_fused(setup):
     assert int(s2.time_step) == STEPS
 
 
+def test_hybrid_with_cem_searcher(setup):
+    """Hybrid over a CEM-refined pool: CEM's final population is pruned and
+    sim-re-ranked; with topk == shots the chosen action is the true-cost
+    argmin of CEM's own population (and CEM's chosen action is that
+    population's surrogate-cost argmin — they may differ, but the hybrid's
+    TRUE cost can never be worse than the sim cost of CEM's pick)."""
+    from waves_jl_tpu.control import make_hybrid_action_fused
+
+    env, eps, model, params = setup
+    state = env_reset(env, jax.random.PRNGKey(17))
+    key = jax.random.PRNGKey(18)
+    cem = CEMShooting(model=model, horizon=2, shots=4, alpha=1.0, iters=2,
+                      elites=2)
+    # population/__call__ agree: __call__ picks the population's argmin
+    acts, cost = cem.population(params, env, state, key)
+    a_c, info_c = cem(params, env, state, key)
+    assert int(info_c["idx"]) == int(jnp.argmin(cost))
+
+    h_act, h_step = make_hybrid_action_fused(
+        env, model, horizon=2, shots=4, topk=4, interpret=True, searcher=cem
+    )
+    h1_act, _ = make_hybrid_action_fused(
+        env, model, horizon=2, shots=4, topk=1, interpret=True, searcher=cem
+    )
+    a_h, c_h = h_act(params, state, key)
+    _, c_h1 = h1_act(params, state, key)  # topk=1 == CEM's own pick, sim cost
+    assert float(c_h) <= float(c_h1) + 1e-6
+    s2, _ = h_step(state, a_h)
+    assert int(s2.time_step) == STEPS
+
+
 def test_mpc_episode_recorded(setup):
     """On-policy recorded episodes have the standard Episode layout, are
     windowable by prepare_data, and the epsilon action mixing actually

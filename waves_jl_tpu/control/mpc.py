@@ -175,6 +175,15 @@ class CEMShooting:
     noise_floor: float = 0.0  # optional stddev floor to keep exploring
 
     def __call__(self, params, env: WaveEnv, state: EnvState, key: jax.Array):
+        actions, cost = self.population(params, env, state, key)
+        idx = jnp.argmin(cost)
+        first = jax.tree_util.tree_map(lambda v: v[idx, 0], actions)
+        return first, {"cost": cost, "idx": idx}
+
+    def population(self, params, env: WaveEnv, state: EnvState, key: jax.Array):
+        """The final refined (shots, horizon) population and its surrogate
+        costs — exposed so the hybrid prune/re-rank controller can prune a
+        CEM-refined pool instead of raw uniform samples."""
         obs = env_observe(env, state)
         t = selection_tspan(self.model, env, state, self.horizon, self.shots)
         x = (
@@ -226,9 +235,7 @@ class CEMShooting:
             )
             cost = eval_cost(actions)
 
-        idx = jnp.argmin(cost)
-        first = jax.tree_util.tree_map(lambda v: v[idx, 0], actions)
-        return first, {"cost": cost, "idx": idx}
+        return actions, cost
 
 
 def make_mpc_episode_fused(env: WaveEnv, mpc: "RandomShooting",
@@ -387,7 +394,7 @@ def make_oracle_action_fused(env: WaveEnv, horizon: int = 5, shots: int = 16,
 def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
                              shots: int = 256, topk: int = 8,
                              alpha: float = 1.0, tile_interior: int = 48,
-                             interpret: bool = False):
+                             interpret: bool = False, searcher=None):
     """Surrogate-pruned true-simulator MPC: the surrogate ranks `shots`
     candidate sequences in one batched latent rollout (cheap), the TRUE
     fused-kernel simulator re-evaluates only the `topk` best, and the
@@ -401,20 +408,33 @@ def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
     Returns (act, step): act(params, state, key) -> (action, chosen true
     cost) as ONE jitted dispatch of bounded length (tunneled workers kill
     >1 min dispatches), step(state, action) applies it.
+
+    ``searcher``: optional population searcher (e.g. `CEMShooting`) whose
+    `.population(params, env, state, key) -> (actions, cost)` supplies a
+    REFINED candidate pool instead of raw uniform samples — CEM search plus
+    exact re-ranking compose. Must be built with the same horizon/alpha.
     """
     from ..physics.fused import make_env_step_fused
 
+    if searcher is not None:
+        assert searcher.horizon == horizon and searcher.alpha == alpha, \
+            "searcher must share the hybrid's horizon/alpha"
     step = make_env_step_fused(env, tile_interior, interpret, jit=False)
 
     def act(params, st, k):
-        actions = build_action_sequence(env.action_space, k, horizon, shots)
-        penalty = compute_action_cost(actions)
-        obs = env_observe(env, st)
-        t = selection_tspan(model, env, st, horizon, shots)
-        energy = model.predict_shot_energy(
-            params, obs.wave, st.design, actions, t
-        )
-        _, best = jax.lax.top_k(-(energy + alpha * penalty), topk)
+        if searcher is not None:
+            actions, cost_s = searcher.population(params, env, st, k)
+            penalty = compute_action_cost(actions)
+        else:
+            actions = build_action_sequence(env.action_space, k, horizon, shots)
+            penalty = compute_action_cost(actions)
+            obs = env_observe(env, st)
+            t = selection_tspan(model, env, st, horizon, shots)
+            energy = model.predict_shot_energy(
+                params, obs.wave, st.design, actions, t
+            )
+            cost_s = energy + alpha * penalty
+        _, best = jax.lax.top_k(-cost_s, topk)
         elite = jax.tree_util.tree_map(lambda v: v[best], actions)
 
         def one_shot(carry, acts_s):

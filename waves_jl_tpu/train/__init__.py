@@ -8,6 +8,11 @@ from .loop import (
     train_windowed,
     validate,
 )
+from .stream import (
+    gather_window_batch_host,
+    make_scan_train_steps_batched,
+    train_streaming,
+)
 from .windows import (
     episode_axes,
     gather_window,
