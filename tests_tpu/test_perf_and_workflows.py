@@ -81,6 +81,35 @@ def test_fused_mpc_episode_smoke():
     assert int(final.time_step) == 2 * 100
 
 
+def test_hybrid_action_smoke():
+    """Hybrid prune/re-rank on hardware (tiny shots/topk): the chosen true
+    cost can never beat pruning less (topk=1 vs topk=shots ordering), the
+    action applies, and the dispatch stays well under the tunnel's ~1 min
+    kill threshold."""
+    from waves_jl_tpu.control import make_hybrid_action_fused
+    from waves_jl_tpu.models import AcousticEnergyModel
+
+    env = _env(n=700, steps=100, actions=2)
+    model = AcousticEnergyModel.create(
+        design_space=w.build_triple_ring_design_space(), source_freq=1000.0,
+        elements=256, h_size=32, nfreq=32, integration_steps=25, dt=4e-5,
+    )
+    from __graft_entry__ import _tiny_batch
+
+    params = model.init(
+        jax.random.PRNGKey(0), _tiny_batch(model, B=1, horizon=1, steps=25, res=128)
+    )
+    state = env_reset(env, jax.random.PRNGKey(4))
+    key = jax.random.PRNGKey(5)
+    act4, step4 = make_hybrid_action_fused(env, model, horizon=2, shots=4, topk=4)
+    act1, _ = make_hybrid_action_fused(env, model, horizon=2, shots=4, topk=1)
+    a, c = act4(params, state, key)
+    _, c1 = act1(params, state, key)
+    assert np.isfinite(float(c)) and float(c) <= float(c1) + 1e-5
+    s2, _ = step4(state, a)
+    assert int(s2.time_step) == 100
+
+
 def test_shard_datagen_roundtrip(tmp_path):
     """Generate one real 256^2 episode on the fused path, stream it through
     the native shard store, and reload bit-exact."""
