@@ -93,6 +93,9 @@ def main():
     p.add_argument("--hybrid-cem", action="store_true",
                    help="hybrid: prune a CEM-refined pool instead of raw "
                         "uniform samples")
+    p.add_argument("--rerank-n", type=int, default=None,
+                   help="hybrid: grid size for a reduced-resolution exact "
+                        "re-rank (winning action still applied at --n)")
     p.add_argument("--cem-iters", type=int, default=3)
     p.add_argument("--cem-elites", type=int, default=32)
     p.add_argument("--latent-stride", type=int, default=1,
@@ -200,9 +203,14 @@ def main():
                 model=model, horizon=args.horizon, shots=args.shots,
                 alpha=args.alpha, iters=args.cem_iters, elites=args.cem_elites,
             )
+        rerank_env = (
+            build_env(args.rerank_n, 100, args.actions)
+            if args.rerank_n else None
+        )
         hybrid_act, hybrid_step = make_hybrid_action_fused(
             env, model, horizon=args.horizon, shots=args.shots,
-            topk=args.topk, alpha=args.alpha, searcher=searcher
+            topk=args.topk, alpha=args.alpha, searcher=searcher,
+            rerank_env=rerank_env,
         )
 
         def run_mpc(pm, s, k):
@@ -278,6 +286,8 @@ def main():
                        else args.checkpoint),
         "beta": args.beta if args.controller == "ensemble" else None,
         "topk": args.topk if args.controller == "hybrid" else None,
+        "rerank_n": args.rerank_n if args.controller == "hybrid" else None,
+        "hybrid_cem": args.hybrid_cem if args.controller == "hybrid" else None,
         "actions": args.actions,
         "shots": args.shots,
         "horizon": args.horizon,

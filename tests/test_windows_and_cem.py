@@ -403,6 +403,47 @@ def test_hybrid_with_cem_searcher(setup):
     assert int(s2.time_step) == STEPS
 
 
+def test_hybrid_rerank_env(setup):
+    """Reduced-resolution exact re-rank: the state projects onto the coarse
+    grid with the right shapes, the hybrid's ordering property (topk=shots
+    can never lose to topk=1 in the SAME simulator) holds, and the winning
+    action is applied at FULL resolution."""
+    from waves_jl_tpu.control import coarsen_env_state, make_hybrid_action_fused
+
+    env, eps, model, params = setup
+    m = 32
+    dim_lo = w.two_dim(15.0, m)
+    grid_lo = w.build_grid(dim_lo)
+    source_lo = w.GaussianSource.create(
+        grid_lo, jnp.array([[-10.0, -10.0]]), jnp.array([[-10.0, 10.0]]),
+        jnp.array([0.3]), jnp.array([1.0]), 1000.0,
+    )
+    env_lo = make_wave_env(
+        dim_lo, w.build_triple_ring_design_space(), source_lo,
+        resolution=RES, integration_steps=STEPS, actions=4,
+    )
+    state = env_reset(env, jax.random.PRNGKey(21))
+    st_lo = coarsen_env_state(env_lo, state)
+    assert st_lo.wave.shape == (state.wave.shape[0], 12, m, m)
+    assert st_lo.source.shape.shape == (m, m)
+
+    key = jax.random.PRNGKey(22)
+    act4, h_step = make_hybrid_action_fused(
+        env, model, horizon=2, shots=4, topk=4, interpret=True,
+        rerank_env=env_lo,
+    )
+    act1, _ = make_hybrid_action_fused(
+        env, model, horizon=2, shots=4, topk=1, interpret=True,
+        rerank_env=env_lo,
+    )
+    a, c = act4(params, state, key)
+    _, c1 = act1(params, state, key)
+    assert np.isfinite(float(c)) and float(c) <= float(c1) + 1e-6
+    s2, _ = h_step(state, a)
+    assert int(s2.time_step) == STEPS
+    assert s2.wave.shape[-1] == env.dim.shape[0]
+
+
 def test_mpc_episode_recorded(setup):
     """On-policy recorded episodes have the standard Episode layout, are
     windowable by prepare_data, and the epsilon action mixing actually

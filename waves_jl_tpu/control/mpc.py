@@ -391,10 +391,32 @@ def make_oracle_action_fused(env: WaveEnv, horizon: int = 5, shots: int = 16,
     return jax.jit(_oracle_act(env, step, horizon, shots, alpha)), jax.jit(step)
 
 
+def coarsen_env_state(env_lo: WaveEnv, state: EnvState) -> EnvState:
+    """Project a full-resolution `EnvState` onto `env_lo`'s coarser grid:
+    bilinear-resize the wave frame history and the source shape field; the
+    design and time step are resolution-independent parameters. Used by the
+    hybrid controller's reduced-resolution exact re-rank — the coarse
+    simulator integrates the same equations on the same physical domain, so
+    its candidate ordering tracks the full-resolution ordering at ~(n/m)^2
+    of the cost (energies differ at the discretization level, which cancels
+    in a ranking)."""
+    import dataclasses
+
+    m = env_lo.dim.shape[0]
+    wave = jax.image.resize(
+        state.wave, (*state.wave.shape[:-2], m, m), "linear"
+    )
+    shape = jax.image.resize(state.source.shape, (m, m), "linear")
+    return dataclasses.replace(
+        state, wave=wave, source=dataclasses.replace(state.source, shape=shape)
+    )
+
+
 def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
                              shots: int = 256, topk: int = 8,
                              alpha: float = 1.0, tile_interior: int = 48,
-                             interpret: bool = False, searcher=None):
+                             interpret: bool = False, searcher=None,
+                             rerank_env: WaveEnv | None = None):
     """Surrogate-pruned true-simulator MPC: the surrogate ranks `shots`
     candidate sequences in one batched latent rollout (cheap), the TRUE
     fused-kernel simulator re-evaluates only the `topk` best, and the
@@ -413,6 +435,14 @@ def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
     `.population(params, env, state, key) -> (actions, cost)` supplies a
     REFINED candidate pool instead of raw uniform samples — CEM search plus
     exact re-ranking compose. Must be built with the same horizon/alpha.
+
+    ``rerank_env``: optional coarser-grid env (same physical domain, dt and
+    steps per window) for the re-rank simulations. The state is projected
+    onto the coarse grid (`coarsen_env_state`) and the top-k rollouts run
+    there at ~(n/m)^2 of the full-grid cost; the WINNING action is still
+    applied at full resolution by `step`. Cuts the hybrid's per-action cost
+    ~4x at m = n/2 with near-identical candidate ordering (the coarse
+    simulator is the same physics, just coarser — measured in RESULTS.md).
     """
     from ..physics.fused import make_env_step_fused
 
@@ -420,6 +450,14 @@ def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
         assert searcher.horizon == horizon and searcher.alpha == alpha, \
             "searcher must share the hybrid's horizon/alpha"
     step = make_env_step_fused(env, tile_interior, interpret, jit=False)
+    if rerank_env is not None:
+        assert rerank_env.dt == env.dt and \
+            rerank_env.integration_steps == env.integration_steps, \
+            "rerank_env must share the env's dt and steps per action window"
+        step_lo = make_env_step_fused(rerank_env, tile_interior, interpret,
+                                      jit=False)
+    else:
+        step_lo = step
 
     def act(params, st, k):
         if searcher is not None:
@@ -436,13 +474,14 @@ def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
             cost_s = energy + alpha * penalty
         _, best = jax.lax.top_k(-cost_s, topk)
         elite = jax.tree_util.tree_map(lambda v: v[best], actions)
+        st_rr = coarsen_env_state(rerank_env, st) if rerank_env is not None else st
 
         def one_shot(carry, acts_s):
             def roll(st_h, a):
-                st2, _ = step(st_h, a)
+                st2, _ = step_lo(st_h, a)
                 return st2, jnp.sum(st2.signal[1:, 2])
 
-            _, scs = jax.lax.scan(roll, st, acts_s)
+            _, scs = jax.lax.scan(roll, st_rr, acts_s)
             return carry, jnp.sum(scs)
 
         _, true_energy = jax.lax.scan(one_shot, None, elite)
