@@ -96,6 +96,10 @@ def main():
     p.add_argument("--rerank-n", type=int, default=None,
                    help="hybrid: grid size for a reduced-resolution exact "
                         "re-rank (winning action still applied at --n)")
+    p.add_argument("--batched-rerank", action="store_true",
+                   help="hybrid: run the top-k re-rank through the "
+                        "candidate-batched kernel (one grid-(K, tiles) "
+                        "program instead of a scan of K rollouts)")
     p.add_argument("--cem-iters", type=int, default=3)
     p.add_argument("--cem-elites", type=int, default=32)
     p.add_argument("--latent-stride", type=int, default=1,
@@ -210,7 +214,7 @@ def main():
         hybrid_act, hybrid_step = make_hybrid_action_fused(
             env, model, horizon=args.horizon, shots=args.shots,
             topk=args.topk, alpha=args.alpha, searcher=searcher,
-            rerank_env=rerank_env,
+            rerank_env=rerank_env, batched=args.batched_rerank,
         )
 
         def run_mpc(pm, s, k):

@@ -150,3 +150,52 @@ def test_radii_only_fast_path_exact():
     np.testing.assert_allclose(
         np.asarray(e1), np.asarray(e2), rtol=1e-5, atol=1e-9
     )
+
+
+def test_batched_kernel_matches_unbatched():
+    """Candidate-batched kernel (grid (K, n_tiles)) == K independent
+    unbatched calls, per candidate, including per-candidate cylinder
+    configs and energies."""
+    from waves_jl_tpu.ops.pallas_fd import make_fused_acoustic_step
+    from waves_jl_tpu.physics.fused import cyl_params, pad_profiles
+
+    env = _env(n=64, steps=8, actions=1)
+    n, k = 64, 2
+    spacing = 2.0 * 15.0 / (n - 1)
+    kw = dict(
+        n=n, spacing=spacing, dt=1e-5, c0=float(w.WATER), freq=1000.0,
+        n_cyl=19, x_min=-15.0, interpret=True, steps_per_call=2,
+        radii_only=True, x_matmul=False,
+    )
+    step1 = make_fused_acoustic_step(**kw)
+    stepk = make_fused_acoustic_step(batch=k, **kw)
+
+    state = env_reset(env, jax.random.PRNGKey(5))
+    shape_pad = pad_state(state.source.shape[None], 48)[0]
+    prof_x, prof_y = pad_profiles(env.integrator.dynamics.pml, n, 48)
+    scalars = jnp.array([2e-4, 0.0, 1e-3, 0.0], jnp.float32)
+
+    us, cyls = [], []
+    for j in range(k):
+        d1 = env.design_space.sample(jax.random.PRNGKey(10 + j))
+        d2 = env.design_space.sample(jax.random.PRNGKey(20 + j))
+        cyls.append(cyl_params(d1, d2))
+        us.append(pad_state(
+            jax.random.normal(jax.random.PRNGKey(30 + j), (12, n, n),
+                              jnp.float32) * 1e-3, 48
+        ))
+    u_b = jnp.stack(us)
+    cyl_b = jnp.stack(cyls)
+
+    u_out_b, e_b = stepk(u_pad=u_b, shape_pad=shape_pad, prof_x=prof_x,
+                         prof_y=prof_y, scalars=scalars, cyl=cyl_b)
+    assert u_out_b.shape == u_b.shape and e_b.shape == (k, 2, 3)
+    for j in range(k):
+        u1, e1 = step1(u_pad=us[j], shape_pad=shape_pad, prof_x=prof_x,
+                       prof_y=prof_y, scalars=scalars, cyl=cyls[j])
+        np.testing.assert_allclose(
+            np.asarray(u_out_b[j]), np.asarray(u1), rtol=1e-6, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(e_b[j]), np.asarray(e1), rtol=1e-6, atol=1e-12
+        )

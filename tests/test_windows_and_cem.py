@@ -506,3 +506,51 @@ def test_static_list_tuple_roundtrip():
     assert rebuilt.shape == (4, 5) and isinstance(rebuilt.shape, tuple)
     assert rebuilt.tags == ["a", "b"] and isinstance(rebuilt.tags, list)
     np.testing.assert_array_equal(np.asarray(obj.x), np.asarray(rebuilt.x))
+
+
+def test_hybrid_batched_rerank_matches_scan(setup):
+    """The candidate-batched exact re-rank (one grid-(K, tiles) kernel
+    program) selects the same action at the same true cost as the
+    sequential scan-of-K re-rank — on both the full-grid and the
+    reduced-resolution paths."""
+    from waves_jl_tpu.control import make_hybrid_action_fused
+
+    env, eps, model, params = setup
+    state = env_reset(env, jax.random.PRNGKey(31))
+    key = jax.random.PRNGKey(32)
+
+    # coarse re-rank env only: full-grid batched-kernel parity is covered at
+    # the kernel level (test_fused.test_batched_kernel_matches_unbatched);
+    # this checks the controller wiring (topk gather, per-candidate design
+    # advance, cumulative-energy convention, winner extraction)
+    rerank_env = _coarse_env(24)
+    act_s, _ = make_hybrid_action_fused(
+        env, model, horizon=2, shots=4, topk=3, interpret=True,
+        rerank_env=rerank_env, batched=False,
+    )
+    act_b, _ = make_hybrid_action_fused(
+        env, model, horizon=2, shots=4, topk=3, interpret=True,
+        rerank_env=rerank_env, batched=True,
+    )
+    a_s, c_s = act_s(params, state, key)
+    a_b, c_b = act_b(params, state, key)
+    np.testing.assert_allclose(float(c_b), float(c_s), rtol=1e-5)
+    for xs, xb in zip(
+        jax.tree_util.tree_leaves(a_s), jax.tree_util.tree_leaves(a_b)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(xb), np.asarray(xs), rtol=1e-5, atol=1e-7
+        )
+
+
+def _coarse_env(m):
+    dim_lo = w.two_dim(15.0, m)
+    grid_lo = w.build_grid(dim_lo)
+    source_lo = w.GaussianSource.create(
+        grid_lo, jnp.array([[-10.0, -10.0]]), jnp.array([[-10.0, 10.0]]),
+        jnp.array([0.3]), jnp.array([1.0]), 1000.0,
+    )
+    return make_wave_env(
+        dim_lo, w.build_triple_ring_design_space(), source_lo,
+        resolution=RES, integration_steps=STEPS, actions=4,
+    )

@@ -416,7 +416,8 @@ def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
                              shots: int = 256, topk: int = 8,
                              alpha: float = 1.0, tile_interior: int = 48,
                              interpret: bool = False, searcher=None,
-                             rerank_env: WaveEnv | None = None):
+                             rerank_env: WaveEnv | None = None,
+                             batched: bool = False):
     """Surrogate-pruned true-simulator MPC: the surrogate ranks `shots`
     candidate sequences in one batched latent rollout (cheap), the TRUE
     fused-kernel simulator re-evaluates only the `topk` best, and the
@@ -443,8 +444,14 @@ def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
     applied at full resolution by `step`. Cuts the hybrid's per-action cost
     ~4x at m = n/2 with near-identical candidate ordering (the coarse
     simulator is the same physics, just coarser — measured in RESULTS.md).
+
+    ``batched=True`` runs the top-k re-rank through the candidate-batched
+    kernel (`physics.fused.make_rerank_rollout`: one grid-(K, n_tiles)
+    program instead of a sequential scan of K rollouts) — same numerics,
+    amortized per-invocation ramp; the win grows as the re-rank grid
+    shrinks.
     """
-    from ..physics.fused import make_env_step_fused
+    from ..physics.fused import make_env_step_fused, make_rerank_rollout
 
     if searcher is not None:
         assert searcher.horizon == horizon and searcher.alpha == alpha, \
@@ -458,6 +465,11 @@ def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
                                       jit=False)
     else:
         step_lo = step
+    rollout_k = (
+        make_rerank_rollout(rerank_env if rerank_env is not None else env,
+                            topk, horizon, tile_interior, interpret)
+        if batched else None
+    )
 
     def act(params, st, k):
         if searcher is not None:
@@ -476,15 +488,18 @@ def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
         elite = jax.tree_util.tree_map(lambda v: v[best], actions)
         st_rr = coarsen_env_state(rerank_env, st) if rerank_env is not None else st
 
-        def one_shot(carry, acts_s):
-            def roll(st_h, a):
-                st2, _ = step_lo(st_h, a)
-                return st2, jnp.sum(st2.signal[1:, 2])
+        if rollout_k is not None:
+            true_energy = rollout_k(st_rr, elite, env_time(env, st))
+        else:
+            def one_shot(carry, acts_s):
+                def roll(st_h, a):
+                    st2, _ = step_lo(st_h, a)
+                    return st2, jnp.sum(st2.signal[1:, 2])
 
-            _, scs = jax.lax.scan(roll, st_rr, acts_s)
-            return carry, jnp.sum(scs)
+                _, scs = jax.lax.scan(roll, st_rr, acts_s)
+                return carry, jnp.sum(scs)
 
-        _, true_energy = jax.lax.scan(one_shot, None, elite)
+            _, true_energy = jax.lax.scan(one_shot, None, elite)
         cost = true_energy + alpha * penalty[best]
         idx = jnp.argmin(cost)
         first = jax.tree_util.tree_map(lambda v: v[idx, 0], elite)

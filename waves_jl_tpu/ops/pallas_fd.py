@@ -100,6 +100,7 @@ def make_fused_acoustic_step(
     y_ghost: int = 0,
     radii_only: bool = False,
     x_matmul: bool = False,
+    batch: int = 0,
 ):
     """Build the fused RK4 step.
 
@@ -115,6 +116,14 @@ def make_fused_acoustic_step(
       cyl      (8, n_cyl) f32 rows [p1x, p1y, r1, c1, p2x, p2y, r2, c2]
     energies = [tot, inc, sc] sums of u^2 over the OWNED region (multiply by
     dOmega outside).
+
+    ``batch=K > 0`` builds the CANDIDATE-BATCHED variant used by the hybrid
+    controller's exact re-rank: K independent states advance through the
+    same time step in ONE kernel invocation — grid (K, n_tiles), state
+    (K, 12, PX, PY), per-candidate designs cyl (K, 8, n_cyl); source shape
+    and PML profiles are shared. Amortizes the per-invocation ramp that
+    dominates at small grids (at 350^2 a call covers only ~8 tiles) and
+    returns energies (K, steps_per_call, 3).
 
     Multi-chip (y-sharded) mode: `ny_local` = owned columns of this shard,
     `y_ghost` = halo columns on each side carrying neighbor data (>= HALO x
@@ -146,14 +155,30 @@ def make_fused_acoustic_step(
     assert 1 <= steps_per_call <= GHOST // HALO, steps_per_call
     assert y_ghost == 0 or y_ghost >= HALO * steps_per_call, (y_ghost, steps_per_call)
 
-    def kernel(scalars, cyl, u_hbm, shape_ref, profx_ref, profy_ref,
+    def kernel(scalars, cyl_all, u_hbm, shape_ref, profx_ref, profy_ref,
                out_hbm, e_ref, u_scr, o_scr, ras_scr,
                sem_in, sem_out):
-        i = pl.program_id(0)
+        if batch:
+            i = pl.program_id(0)
+            b = pl.program_id(1)
+            e_row = b * n_tiles + i
+
+            def cylv(r, j):
+                # scalar SMEM read; a ref view (.at[b]) would be a slice,
+                # which Mosaic requires lane-aligned (n_cyl=19 is not)
+                return cyl_all[b, r, j]
+        else:
+            i = pl.program_id(0)
+            e_row = i
+
+            def cylv(r, j):
+                return cyl_all[r, j]
         row0 = i * tile_interior  # padded-row offset of this tile's DMA
 
         cp_in = pltpu.make_async_copy(
-            u_hbm.at[:, pl.ds(row0, rows), :], u_scr, sem_in
+            u_hbm.at[b, :, pl.ds(row0, rows), :] if batch
+            else u_hbm.at[:, pl.ds(row0, rows), :],
+            u_scr, sem_in,
         )
         cp_in.start()
 
@@ -193,9 +218,9 @@ def make_fused_acoustic_step(
         x_t1 = x_t0 + (rows - 1) * spacing
         intersects = []
         for j in range(n_cyl):
-            r_max = jnp.maximum(cyl[2, j], cyl[6, j])
-            xj_lo = jnp.minimum(cyl[0, j], cyl[4, j]) - r_max
-            xj_hi = jnp.maximum(cyl[0, j], cyl[4, j]) + r_max
+            r_max = jnp.maximum(cylv(2, j), cylv(6, j))
+            xj_lo = jnp.minimum(cylv(0, j), cylv(4, j)) - r_max
+            xj_hi = jnp.maximum(cylv(0, j), cylv(4, j)) + r_max
             intersects.append((xj_hi >= x_t0) & (xj_lo <= x_t1))
 
         def rasterize(w, ras_ref):
@@ -208,10 +233,10 @@ def make_fused_acoustic_step(
             for j in range(n_cyl):
                 @pl.when(intersects[j])
                 def _():
-                    pxj = cyl[0, j] + w * (cyl[4, j] - cyl[0, j])
-                    pyj = cyl[1, j] + w * (cyl[5, j] - cyl[1, j])
-                    rj = cyl[2, j] + w * (cyl[6, j] - cyl[2, j])
-                    cj = cyl[3, j] + w * (cyl[7, j] - cyl[3, j])
+                    pxj = cylv(0, j) + w * (cylv(4, j) - cylv(0, j))
+                    pyj = cylv(1, j) + w * (cylv(5, j) - cylv(1, j))
+                    rj = cylv(2, j) + w * (cylv(6, j) - cylv(2, j))
+                    cj = cylv(3, j) + w * (cylv(7, j) - cylv(3, j))
                     d2 = (x_coord - pxj) ** 2 + (y_coord - pyj) ** 2
                     m = (d2 < rj * rj).astype(jnp.float32)
                     ras_ref[0] = ras_ref[0] + m * cj
@@ -231,16 +256,16 @@ def make_fused_acoustic_step(
             for j in range(n_cyl):
                 @pl.when(intersects[j])
                 def _():
-                    d2 = (x_coord - cyl[0, j]) ** 2 + (y_coord - cyl[1, j]) ** 2
-                    rmax = jnp.maximum(cyl[2, j], cyl[6, j])
+                    d2 = (x_coord - cylv(0, j)) ** 2 + (y_coord - cylv(1, j)) ** 2
+                    rmax = jnp.maximum(cylv(2, j), cylv(6, j))
                     gap = d2 - rmax * rmax
                     upd = gap < ras_ref[0]
                     ras_ref[0] = jnp.where(upd, gap, ras_ref[0])
                     ras_ref[1] = jnp.where(upd, d2, ras_ref[1])
-                    ras_ref[2] = jnp.where(upd, cyl[2, j], ras_ref[2])
-                    ras_ref[3] = jnp.where(upd, cyl[6, j] - cyl[2, j], ras_ref[3])
-                    ras_ref[4] = jnp.where(upd, cyl[3, j], ras_ref[4])
-                    ras_ref[5] = jnp.where(upd, cyl[7, j] - cyl[3, j], ras_ref[5])
+                    ras_ref[2] = jnp.where(upd, cylv(2, j), ras_ref[2])
+                    ras_ref[3] = jnp.where(upd, cylv(6, j) - cylv(2, j), ras_ref[3])
+                    ras_ref[4] = jnp.where(upd, cylv(3, j), ras_ref[4])
+                    ras_ref[5] = jnp.where(upd, cylv(7, j) - cylv(3, j), ras_ref[5])
 
         def rasterize_fast(w, ras_ref):
             """Per-stage owner test: same lerp/compare expressions as the
@@ -353,11 +378,11 @@ def make_fused_acoustic_step(
             zero = jnp.zeros_like(u[0])
             u_tot = jnp.where(owned, u[0], zero)
             u_inc = jnp.where(owned, u[6], zero)
-            e_ref[i, 4 * st + 0] = jnp.sum(u_tot * u_tot)
-            e_ref[i, 4 * st + 1] = jnp.sum(u_inc * u_inc)
+            e_ref[e_row, 4 * st + 0] = jnp.sum(u_tot * u_tot)
+            e_ref[e_row, 4 * st + 1] = jnp.sum(u_inc * u_inc)
             sc = u_tot - u_inc
-            e_ref[i, 4 * st + 2] = jnp.sum(sc * sc)
-            e_ref[i, 4 * st + 3] = 0.0
+            e_ref[e_row, 4 * st + 2] = jnp.sum(sc * sc)
+            e_ref[e_row, 4 * st + 3] = 0.0
 
         # separate output scratch: writing back into u_scr was measured 26%
         # slower — it forces the next tile's input DMA to serialize against
@@ -367,15 +392,17 @@ def make_fused_acoustic_step(
             o_scr[ch] = u_new[ch]
         cp_out = pltpu.make_async_copy(
             o_scr.at[:, pl.ds(GHOST, tile_interior), :],
-            out_hbm.at[:, pl.ds(row0 + GHOST, tile_interior), :],
+            out_hbm.at[b, :, pl.ds(row0 + GHOST, tile_interior), :] if batch
+            else out_hbm.at[:, pl.ds(row0 + GHOST, tile_interior), :],
             sem_out,
         )
         cp_out.start()
         cp_out.wait()
 
+    e_rows = (batch or 1) * n_tiles
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # scalars, cyl
-        grid=(n_tiles,),
+        grid=(n_tiles, batch) if batch else (n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # u_hbm
             pl.BlockSpec(memory_space=pltpu.VMEM),  # shape (full)
@@ -385,7 +412,7 @@ def make_fused_acoustic_step(
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # u_out
             pl.BlockSpec(
-                (n_tiles, 4 * steps_per_call), lambda i, *_: (0, 0),
+                (e_rows, 4 * steps_per_call), lambda *_: (0, 0),
                 memory_space=pltpu.SMEM,
             ),
         ],
@@ -400,16 +427,18 @@ def make_fused_acoustic_step(
         ],
     )
 
+    state_shape = ((batch, 12, px, py) if batch else (12, px, py))
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((12, px, py), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 4 * steps_per_call), jnp.float32),
+            jax.ShapeDtypeStruct(state_shape, jnp.float32),
+            jax.ShapeDtypeStruct((e_rows, 4 * steps_per_call), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary") if batch
+            else ("arbitrary",),
             # do NOT raise vmem_limit_bytes: lifting the 16 MB scoped cap to
             # 100 MB let tiles >=64 compile but cost ~24% at tile 48 too
             # (Mosaic allocates past physical VMEM and spills), and the
@@ -418,8 +447,12 @@ def make_fused_acoustic_step(
     )
 
     def step(u_pad, shape_pad, prof_x, prof_y, scalars, cyl):
-        """Advance steps_per_call steps; energies (steps_per_call, 3)."""
+        """Advance steps_per_call steps; energies (steps_per_call, 3)
+        — or ((batch, ...), (batch, steps_per_call, 3)) when batched."""
         u_next, partials = call(scalars, cyl, u_pad, shape_pad, prof_x, prof_y)
+        if batch:
+            e = partials.reshape(batch, n_tiles, steps_per_call, 4)[..., :3]
+            return u_next, jnp.sum(e, axis=1)
         e = partials.reshape(n_tiles, steps_per_call, 4)[:, :, :3]
         return u_next, jnp.sum(e, axis=0)
 

@@ -149,6 +149,77 @@ def _design_space_n_cyl(env: WaveEnv) -> int:
     return 0 if c is None else c.r.shape[0]
 
 
+def make_rerank_rollout(env: WaveEnv, k: int, horizon: int,
+                        tile_interior: int = 48, interpret: bool = False,
+                        x_matmul: bool = True, radii_only: bool | None = None):
+    """K-candidate exact re-rank rollout for the hybrid controller: all K
+    surviving action sequences advance through the TRUE simulator in ONE
+    candidate-batched kernel program (grid (K, n_tiles) — see
+    `make_fused_acoustic_step(batch=...)`) instead of a sequential scan of
+    K independent rollouts. Amortizes the per-invocation ramp that
+    dominates at reduced re-rank resolutions (~8 tiles/call at 350^2).
+
+    Returns rollout(state, elite_actions, t0) -> (K,) cumulative scattered
+    energy over `horizon` action windows, matching the per-candidate sum
+    `sum_h sum(signal_h[1:, 2])` of the sequential path (same kernel
+    numerics; each integration step counted once).
+    """
+    n = env.dim.shape[0]
+    spacing = float(2.0 * float(env.dim.x[-1]) / (n - 1))
+    steps = env.integration_steps
+    spc = 2 if steps % 2 == 0 else 1
+    step = make_fused_acoustic_step(
+        n=n, spacing=spacing, dt=env.dt, c0=float(env.c0),
+        freq=float(env.source.freq), n_cyl=_design_space_n_cyl(env),
+        x_min=float(env.dim.x[0]), tile_interior=tile_interior,
+        interpret=interpret, steps_per_call=spc,
+        radii_only=radii_only_ok(env.design_space) if radii_only is None
+        else radii_only,
+        x_matmul=x_matmul, batch=k,
+    )
+    d_omega = spacing * spacing
+    dt = float(env.dt)
+
+    def rollout(state: EnvState, elite, t0):
+        shape_pad = pad_state(state.source.shape[None], tile_interior)[0]
+        prof_x, prof_y = pad_profiles(
+            env.integrator.dynamics.pml, n, tile_interior
+        )
+        # materialized (not broadcast-strided) copies: the kernel DMAs
+        # per-candidate slices from HBM
+        u0 = jnp.tile(
+            pad_state(state.wave[-1], tile_interior)[None], (k, 1, 1, 1)
+        )
+        d0 = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (k, *x.shape)), state.design
+        )
+        elite_t = jax.tree_util.tree_map(
+            lambda x: jnp.swapaxes(x, 0, 1), elite
+        )  # (H, K, ...) horizon-major for the window scan
+
+        def window(carry, a_h):
+            u, designs, t_i = carry
+            nd = jax.vmap(env.design_space)(designs, a_h)
+            cyl = jax.vmap(cyl_params)(designs, nd)  # (K, 8, n_cyl)
+            tf = t_i + steps * dt
+            ts = t_i + jnp.arange(0, steps, spc, dtype=jnp.float32) * dt
+
+            def body(u_, t):
+                scalars = jnp.stack([t, t_i, tf, jnp.float32(0.0)])
+                u2, e = step(u_pad=u_, shape_pad=shape_pad, prof_x=prof_x,
+                             prof_y=prof_y, scalars=scalars, cyl=cyl)
+                return u2, jnp.sum(e[:, :, 2], axis=1)  # (K,) sc partials
+
+            u, es = jax.lax.scan(body, u, ts)
+            return (u, nd, tf), jnp.sum(es, axis=0)
+
+        t0 = jnp.asarray(t0, jnp.float32)
+        (_, _, _), sc = jax.lax.scan(window, (u0, d0, t0), elite_t)
+        return jnp.sum(sc, axis=0) * d_omega
+
+    return rollout
+
+
 def make_env_step_fused(env: WaveEnv, tile_interior: int = 48, interpret: bool = False,
                         steps_per_call: int | None = None, jit: bool = True,
                         x_matmul: bool = True, radii_only: bool | None = None):
