@@ -100,6 +100,19 @@ def main():
                    help="hybrid: run the top-k re-rank through the "
                         "candidate-batched kernel (one grid-(K, tiles) "
                         "program instead of a scan of K rollouts)")
+    p.add_argument("--exact-rounds", type=int, default=1,
+                   help="hybrid: exact-CEM refinement rounds — each extra "
+                        "round exactly evaluates topk fresh candidates "
+                        "sampled around the exact-cost elites; the chosen "
+                        "true cost is monotone in rounds (total exact "
+                        "budget = rounds x topk)")
+    p.add_argument("--exact-elites", type=int, default=8)
+    p.add_argument("--fused-episode", action="store_true",
+                   help="hybrid: whole episode in ONE device program "
+                        "(removes ~60 ms/action of tunnel dispatches; only "
+                        "for configs whose episode device time is under the "
+                        "tunneled worker's ~1 min dispatch kill — topk<=64 "
+                        "at --rerank-n 350, anything at 175)")
     p.add_argument("--cem-iters", type=int, default=3)
     p.add_argument("--cem-elites", type=int, default=32)
     p.add_argument("--latent-stride", type=int, default=1,
@@ -211,21 +224,33 @@ def main():
             build_env(args.rerank_n, 100, args.actions)
             if args.rerank_n else None
         )
-        hybrid_act, hybrid_step = make_hybrid_action_fused(
-            env, model, horizon=args.horizon, shots=args.shots,
-            topk=args.topk, alpha=args.alpha, searcher=searcher,
-            rerank_env=rerank_env, batched=args.batched_rerank,
-        )
+        if args.fused_episode:
+            from waves_jl_tpu.control import make_hybrid_episode_fused
 
-        def run_mpc(pm, s, k):
-            signals, costs = [], []
-            for _ in range(env.actions):
-                k, kk = jax.random.split(k)
-                a, c = hybrid_act(pm, s, kk)
-                s, _ = hybrid_step(s, a)
-                signals.append(s.signal)
-                costs.append(c)
-            return s, jnp.stack(signals), jnp.stack(costs)
+            run_mpc = make_hybrid_episode_fused(
+                env, model, horizon=args.horizon, shots=args.shots,
+                topk=args.topk, alpha=args.alpha, searcher=searcher,
+                rerank_env=rerank_env, exact_rounds=args.exact_rounds,
+                exact_elites=args.exact_elites,
+            )
+        else:
+            hybrid_act, hybrid_step = make_hybrid_action_fused(
+                env, model, horizon=args.horizon, shots=args.shots,
+                topk=args.topk, alpha=args.alpha, searcher=searcher,
+                rerank_env=rerank_env, batched=args.batched_rerank,
+                exact_rounds=args.exact_rounds,
+                exact_elites=args.exact_elites,
+            )
+
+            def run_mpc(pm, s, k):
+                signals, costs = [], []
+                for _ in range(env.actions):
+                    k, kk = jax.random.split(k)
+                    a, c = hybrid_act(pm, s, kk)
+                    s, _ = hybrid_step(s, a)
+                    signals.append(s.signal)
+                    costs.append(c)
+                return s, jnp.stack(signals), jnp.stack(costs)
     else:
         run_mpc = make_mpc_episode_fused(
             env, mpc, tile_interior=40 if args.fast else 48
@@ -292,6 +317,8 @@ def main():
         "topk": args.topk if args.controller == "hybrid" else None,
         "rerank_n": args.rerank_n if args.controller == "hybrid" else None,
         "hybrid_cem": args.hybrid_cem if args.controller == "hybrid" else None,
+        "exact_rounds": (args.exact_rounds
+                         if args.controller == "hybrid" else None),
         "actions": args.actions,
         "shots": args.shots,
         "horizon": args.horizon,

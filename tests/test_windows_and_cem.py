@@ -444,6 +444,132 @@ def test_hybrid_rerank_env(setup):
     assert s2.wave.shape[-1] == env.dim.shape[0]
 
 
+def test_hybrid_episode_fused_matches_per_action(setup):
+    """The whole-episode fused hybrid program (one lax.scan dispatch)
+    reproduces the per-action dispatch loop exactly — same per-action keys
+    -> same candidate pools -> same re-ranked choices, signals and costs."""
+    from waves_jl_tpu.control import (
+        make_hybrid_action_fused,
+        make_hybrid_episode_fused,
+    )
+
+    env, eps, model, params = setup
+    state = env_reset(env, jax.random.PRNGKey(31))
+    key = jax.random.PRNGKey(32)
+
+    run = make_hybrid_episode_fused(
+        env, model, horizon=2, shots=4, topk=2, interpret=True
+    )
+    final, signals, costs = run(params, state, key)
+    assert signals.shape == (env.actions, STEPS + 1, 3)
+    assert int(final.time_step) == env.actions * STEPS
+
+    act, step = make_hybrid_action_fused(
+        env, model, horizon=2, shots=4, topk=2, interpret=True
+    )
+    s = state
+    sigs2, costs2 = [], []
+    for k in jax.random.split(key, env.actions):
+        a, c = act(params, s, k)
+        s, _ = step(s, a)
+        sigs2.append(np.asarray(s.signal))
+        costs2.append(float(c))
+    np.testing.assert_allclose(
+        np.asarray(signals), np.stack(sigs2), rtol=1e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(costs2), rtol=1e-5)
+
+
+def test_hybrid_exact_rounds_monotone(setup):
+    """Exact-CEM refinement: the chosen TRUE cost with exact_rounds=2 can
+    never exceed rounds=1 on the same key — every round-1 evaluation stays
+    in the candidate set the final argmin ranges over. (The refinement key
+    split changes the pool draw, so compare through the evaluated-set
+    containment property on identical pools: searcher-free, topk == shots
+    makes round 1 deterministic given the pool key.)"""
+    from waves_jl_tpu.control import make_hybrid_action_fused
+
+    env, eps, model, params = setup
+    state = env_reset(env, jax.random.PRNGKey(51))
+    key = jax.random.PRNGKey(52)
+    # rounds=2 splits the key internally; to align pools, derive the pool
+    # key the same way and hand it to the 1-round controller
+    pool_key = jax.random.split(key)[1]
+    act1, _ = make_hybrid_action_fused(
+        env, model, horizon=2, shots=4, topk=4, interpret=True
+    )
+    act2, h_step = make_hybrid_action_fused(
+        env, model, horizon=2, shots=4, topk=4, interpret=True,
+        exact_rounds=2, exact_elites=2,
+    )
+    _, c1 = act1(params, state, pool_key)
+    a2, c2 = act2(params, state, key)
+    assert float(c2) <= float(c1) + 1e-6
+    s2, _ = h_step(state, a2)
+    assert int(s2.time_step) == STEPS
+
+
+def test_pool_probe_fused(setup, tmp_path):
+    """Exact-ranked pool probe: shapes, the returned action is the
+    exact-cost argmin, and the npz save/load round-trip (datagen_pools)
+    preserves every leaf."""
+    import os
+    import sys
+
+    from waves_jl_tpu.control import make_pool_probe_fused
+
+    env, eps, model, params = setup
+    probe, step = make_pool_probe_fused(
+        env, K=3, horizon=2, alpha=1.0, interpret=True
+    )
+    state = env_reset(env, jax.random.PRNGKey(41))
+    pool, a = probe(state, jax.random.PRNGKey(42))
+    assert pool["y_true"].shape == (3,)
+    assert pool["penalty"].shape == (3,)
+    assert pool["s_wave"].shape == env_observe(env, state).wave.shape
+    idx = int(jnp.argmin(pool["y_true"] + pool["penalty"]))
+    for x, y in zip(
+        jax.tree_util.tree_leaves(a),
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda v: v[idx, 0], pool["a"])
+        ),
+    ):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    s2, _ = step(state, a)
+    assert int(s2.time_step) == STEPS
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts_tpu"))
+    from datagen_pools import load_pools, save_pools
+
+    pools_host = [jax.device_get(pool), jax.device_get(pool)]
+    path = str(tmp_path / "pools1.npz")
+    save_pools(path, pools_host)
+    loaded = load_pools(path, env)
+    assert loaded["y_true"].shape == (2, 3)
+    np.testing.assert_allclose(
+        np.asarray(loaded["y_true"][0]), np.asarray(pool["y_true"]), rtol=1e-6
+    )
+    for x, y in zip(
+        jax.tree_util.tree_leaves(loaded["a"]),
+        jax.tree_util.tree_leaves(pool["a"]),
+    ):
+        np.testing.assert_allclose(np.asarray(x[0]), np.asarray(y), rtol=1e-6)
+
+    # ranking-distillation loss on the loaded pools: finite, and its
+    # gradient actually reaches the encoder parameters
+    from waves_jl_tpu.models import pool_ranking_loss
+
+    loss, grads = jax.value_and_grad(
+        lambda p: pool_ranking_loss(model, p, loaded)
+    )(params)
+    assert np.isfinite(float(loss))
+    gnorm = sum(
+        float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads)
+    )
+    assert gnorm > 0.0
+
+
 def test_mpc_episode_recorded(setup):
     """On-policy recorded episodes have the standard Episode layout, are
     windowable by prepare_data, and the epsilon action mixing actually

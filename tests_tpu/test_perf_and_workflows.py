@@ -110,6 +110,62 @@ def test_hybrid_action_smoke():
     assert int(s2.time_step) == 100
 
 
+def test_hybrid_episode_fused_smoke():
+    """Whole-episode fused hybrid program on hardware, with a
+    reduced-resolution re-rank env: one dispatch per episode, finite
+    signals/costs, terminates, winner applied at full resolution."""
+    from waves_jl_tpu.control import make_hybrid_episode_fused
+    from waves_jl_tpu.models import AcousticEnergyModel
+
+    env = _env(n=700, steps=100, actions=2)
+    env_lo = _env(n=350, steps=100, actions=2)
+    model = AcousticEnergyModel.create(
+        design_space=w.build_triple_ring_design_space(), source_freq=1000.0,
+        elements=256, h_size=32, nfreq=32, integration_steps=25, dt=4e-5,
+    )
+    from __graft_entry__ import _tiny_batch
+
+    params = model.init(
+        jax.random.PRNGKey(0), _tiny_batch(model, B=1, horizon=1, steps=25, res=128)
+    )
+    run = make_hybrid_episode_fused(
+        env, model, horizon=2, shots=8, topk=2, rerank_env=env_lo
+    )
+    state = env_reset(env, jax.random.PRNGKey(7))
+    final, signals, costs = run(params, state, jax.random.PRNGKey(8))
+    assert signals.shape == (2, 101, 3)
+    assert np.isfinite(np.asarray(signals)).all()
+    assert np.isfinite(np.asarray(costs)).all()
+    assert int(final.time_step) == 2 * 100
+    assert final.wave.shape[-1] == 700
+
+
+def test_pool_probe_smoke():
+    """Exact-ranked pool probe on hardware (ranking-distillation datagen
+    path): K true energies at the coarse grid, exact-cost argmin returned,
+    chosen action applies at full resolution."""
+    from waves_jl_tpu.control import make_pool_probe_fused
+
+    env = _env(n=700, steps=100, actions=2)
+    env_lo = _env(n=350, steps=100, actions=2)
+    probe, step = make_pool_probe_fused(
+        env, K=3, horizon=2, alpha=1.0, rerank_env=env_lo
+    )
+    state = env_reset(env, jax.random.PRNGKey(9))
+    pool, a = probe(state, jax.random.PRNGKey(10))
+    y = np.asarray(pool["y_true"])
+    assert y.shape == (3,) and np.isfinite(y).all()
+    idx = int(np.argmin(y + np.asarray(pool["penalty"])))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(a)[0]),
+        np.asarray(jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda v: v[idx, 0], pool["a"])
+        )[0]),
+    )
+    s2, _ = step(state, a)
+    assert int(s2.time_step) == 100
+
+
 def test_shard_datagen_roundtrip(tmp_path):
     """Generate one real 256^2 episode on the fused path, stream it through
     the native shard store, and reload bit-exact."""

@@ -417,7 +417,8 @@ def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
                              alpha: float = 1.0, tile_interior: int = 48,
                              interpret: bool = False, searcher=None,
                              rerank_env: WaveEnv | None = None,
-                             batched: bool = False):
+                             batched: bool = False, exact_rounds: int = 1,
+                             exact_elites: int = 8):
     """Surrogate-pruned true-simulator MPC: the surrogate ranks `shots`
     candidate sequences in one batched latent rollout (cheap), the TRUE
     fused-kernel simulator re-evaluates only the `topk` best, and the
@@ -450,7 +451,37 @@ def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
     program instead of a sequential scan of K rollouts) — same numerics,
     amortized per-invocation ramp; the win grows as the re-rank grid
     shrinks.
+
+    ``exact_rounds > 1``: exact-CEM refinement (see `_hybrid_act`) — each
+    extra round exactly evaluates `topk` fresh candidates sampled around
+    the exact-cost elites; the chosen true cost is monotone in rounds.
     """
+    act, step = _hybrid_act(
+        env, model, horizon, shots, topk, alpha, tile_interior, interpret,
+        searcher, rerank_env, batched,
+        exact_rounds=exact_rounds, exact_elites=exact_elites,
+    )
+    return jax.jit(act), jax.jit(step)
+
+
+def _hybrid_act(env: WaveEnv, model, horizon: int, shots: int, topk: int,
+                alpha: float, tile_interior: int, interpret: bool,
+                searcher, rerank_env: WaveEnv | None, batched: bool,
+                exact_rounds: int = 1, exact_elites: int = 8,
+                noise_floor: float = 0.05):
+    """Traceable hybrid selection closure shared by the per-action
+    (`make_hybrid_action_fused`) and whole-episode
+    (`make_hybrid_episode_fused`) programs. Returns (act, step), unjitted.
+
+    ``exact_rounds > 1`` adds exact-CEM refinement: each extra round refits
+    a diagonal Gaussian to the ``exact_elites`` best sequences BY EXACT
+    COST among everything evaluated so far, samples ``topk`` fresh
+    candidates around it, exactly re-evaluates them, and the final choice
+    is the argmin over ALL exact evaluations — so per selection the chosen
+    true cost is monotonically non-increasing in rounds (unlike the
+    measured-negative surrogate-CEM pool, whose refinement collapsed the
+    pool before the exact re-rank saw it; RESULTS.md). Total exact budget =
+    exact_rounds * topk rollouts."""
     from ..physics.fused import make_env_step_fused, make_rerank_rollout
 
     if searcher is not None:
@@ -472,11 +503,15 @@ def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
     )
 
     def act(params, st, k):
+        if exact_rounds > 1:  # refinement rounds need their own noise keys
+            k, k_pool = jax.random.split(k)
+        else:  # keep the 1-round key path bit-identical to the oracle's
+            k_pool = k
         if searcher is not None:
-            actions, cost_s = searcher.population(params, env, st, k)
+            actions, cost_s = searcher.population(params, env, st, k_pool)
             penalty = compute_action_cost(actions)
         else:
-            actions = build_action_sequence(env.action_space, k, horizon, shots)
+            actions = build_action_sequence(env.action_space, k_pool, horizon, shots)
             penalty = compute_action_cost(actions)
             obs = env_observe(env, st)
             t = selection_tspan(model, env, st, horizon, shots)
@@ -488,9 +523,10 @@ def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
         elite = jax.tree_util.tree_map(lambda v: v[best], actions)
         st_rr = coarsen_env_state(rerank_env, st) if rerank_env is not None else st
 
-        if rollout_k is not None:
-            true_energy = rollout_k(st_rr, elite, env_time(env, st))
-        else:
+        def exact_eval(acts_k):
+            if rollout_k is not None:
+                return rollout_k(st_rr, acts_k, env_time(env, st))
+
             def one_shot(carry, acts_s):
                 def roll(st_h, a):
                     st2, _ = step_lo(st_h, a)
@@ -499,13 +535,160 @@ def make_hybrid_action_fused(env: WaveEnv, model, horizon: int = 5,
                 _, scs = jax.lax.scan(roll, st_rr, acts_s)
                 return carry, jnp.sum(scs)
 
-            _, true_energy = jax.lax.scan(one_shot, None, elite)
-        cost = true_energy + alpha * penalty[best]
-        idx = jnp.argmin(cost)
-        first = jax.tree_util.tree_map(lambda v: v[idx, 0], elite)
-        return first, cost[idx]
+            _, e = jax.lax.scan(one_shot, None, acts_k)
+            return e
 
-    return jax.jit(act), jax.jit(step)
+        ev_actions = elite
+        ev_cost = exact_eval(elite) + alpha * penalty[best]
+
+        low1 = jax.tree_util.tree_map(
+            lambda v: jnp.broadcast_to(v, (topk, horizon, *v.shape)),
+            env.action_space.low,
+        )
+        high1 = jax.tree_util.tree_map(
+            lambda v: jnp.broadcast_to(v, (topk, horizon, *v.shape)),
+            env.action_space.high,
+        )
+        for _ in range(exact_rounds - 1):
+            n_e = min(exact_elites, ev_cost.shape[0])
+            _, eidx = jax.lax.top_k(-ev_cost, n_e)
+            e_actions = jax.tree_util.tree_map(lambda v: v[eidx], ev_actions)
+            mu = jax.tree_util.tree_map(
+                lambda v: jnp.mean(v, axis=0, keepdims=True), e_actions
+            )
+            sd = jax.tree_util.tree_map(
+                lambda v: jnp.maximum(
+                    jnp.std(v, axis=0, keepdims=True), noise_floor
+                ),
+                e_actions,
+            )
+            k, kn = jax.random.split(k)
+            noise = _tree_normal(kn, low1)
+            fresh = tree_clamp(
+                jax.tree_util.tree_map(lambda m, s, n: m + s * n, mu, sd, noise),
+                low1, high1,
+            )
+            f_cost = exact_eval(fresh) + alpha * compute_action_cost(fresh)
+            ev_actions = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), ev_actions, fresh
+            )
+            ev_cost = jnp.concatenate([ev_cost, f_cost], axis=0)
+
+        idx = jnp.argmin(ev_cost)
+        first = jax.tree_util.tree_map(lambda v: v[idx, 0], ev_actions)
+        return first, ev_cost[idx]
+
+    return act, step
+
+
+def make_hybrid_episode_fused(env: WaveEnv, model, horizon: int = 5,
+                              shots: int = 256, topk: int = 8,
+                              alpha: float = 1.0, tile_interior: int = 48,
+                              interpret: bool = False, searcher=None,
+                              rerank_env: WaveEnv | None = None,
+                              exact_rounds: int = 1, exact_elites: int = 8):
+    """Whole hybrid-MPC episode in ONE device program: `lax.scan` over
+    actions, each iteration running the surrogate prune -> true-simulator
+    top-k re-rank -> fused env window. Removes the ~2 tunnel dispatches per
+    action (~60 ms) of the per-action loop — at small topk with a coarse
+    `rerank_env` the dispatch overhead is a large fraction of the episode.
+
+    Only valid where one episode's device time stays under the tunneled
+    worker's ~1 min dispatch kill: actions * (topk * horizon * steps /
+    rerank-throughput + surrogate ranking + env window). topk<=64 at a 350^2
+    re-rank (~25 s) and anything at 175^2 qualify; use
+    `make_hybrid_action_fused` beyond that.
+
+    Returns run(params, state, key) -> (final_state, signals (A, T+1, 3),
+    chosen true costs (A,)).
+    """
+    act, step = _hybrid_act(
+        env, model, horizon, shots, topk, alpha, tile_interior, interpret,
+        searcher, rerank_env, batched=False,
+        exact_rounds=exact_rounds, exact_elites=exact_elites,
+    )
+
+    @jax.jit
+    def run(params, state: EnvState, key: jax.Array):
+        def body(st, k):
+            a, c = act(params, st, k)
+            st2, _ = step(st, a)
+            return st2, (st2.signal, c)
+
+        keys = jax.random.split(key, env.actions)
+        final, (signals, costs) = jax.lax.scan(body, state, keys)
+        return final, signals, costs
+
+    return run
+
+
+def make_pool_probe_fused(env: WaveEnv, K: int = 16, horizon: int = 5,
+                          alpha: float = 1.0,
+                          rerank_env: WaveEnv | None = None,
+                          tile_interior: int = 48, interpret: bool = False):
+    """Exact-ranked candidate-pool probe for ranking distillation: at one
+    state, sample K uniform candidate action sequences and evaluate each
+    with the TRUE fused-kernel simulator (optionally on a coarser
+    `rerank_env` grid — ranking-equivalent at ~(n/m)^2 the cost,
+    RESULTS.md). Returns (probe, step):
+
+      probe(state, key) -> (pool, action) where pool is a dict
+        {"s_wave": observation (res, res, C), "s_design": design pytree,
+         "t0": scalar episode time, "a": (K, H) action pytree,
+         "y_true": (K,) simulated cumulative scattered energy,
+         "penalty": (K,) L2 action cost}
+      and action is the exact-cost argmin (y_true + alpha * penalty) —
+      rolling episodes under it visits controlled-trajectory states.
+
+    The pools supervise a surrogate RANKING fine-tune
+    (`models.pool_ranking_loss`): round-3 measured that every pure-surrogate
+    search upgrade lands within ~2 points of plain shooting because the
+    surrogate's candidate ordering — not the optimizer — binds control
+    quality; these are direct (candidates, true ordering) labels on
+    on-policy states. Beyond-reference (the reference trains on random
+    episode windows only, `scripts/data.jl:53-76`). No surrogate is needed
+    at collection time.
+    """
+    from ..physics.fused import make_env_step_fused
+
+    step = make_env_step_fused(env, tile_interior, interpret, jit=False)
+    if rerank_env is not None:
+        assert rerank_env.dt == env.dt and \
+            rerank_env.integration_steps == env.integration_steps, \
+            "rerank_env must share the env's dt and steps per action window"
+        step_lo = make_env_step_fused(rerank_env, tile_interior, interpret,
+                                      jit=False)
+    else:
+        step_lo = step
+
+    def probe(st, k):
+        actions = build_action_sequence(env.action_space, k, horizon, K)
+        penalty = compute_action_cost(actions)
+        st_rr = coarsen_env_state(rerank_env, st) if rerank_env is not None else st
+
+        def one_shot(carry, acts_s):
+            def roll(st_h, a):
+                st2, _ = step_lo(st_h, a)
+                return st2, jnp.sum(st2.signal[1:, 2])
+
+            _, scs = jax.lax.scan(roll, st_rr, acts_s)
+            return carry, jnp.sum(scs)
+
+        _, y_true = jax.lax.scan(one_shot, None, actions)
+        obs = env_observe(env, st)
+        pool = {
+            "s_wave": obs.wave,
+            "s_design": st.design,
+            "t0": env_time(env, st),
+            "a": actions,
+            "y_true": y_true,
+            "penalty": penalty,
+        }
+        idx = jnp.argmin(y_true + alpha * penalty)
+        first = jax.tree_util.tree_map(lambda v: v[idx, 0], actions)
+        return pool, first
+
+    return jax.jit(probe), jax.jit(step)
 
 
 def make_mpc_episode_recorded(env: WaveEnv, mpc, epsilon: float = 0.0,

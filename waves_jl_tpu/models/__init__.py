@@ -4,6 +4,7 @@ from .acoustic_energy_model import (
     compute_latent_energy,
     energy_loss,
     energy_loss_ranking,
+    pool_ranking_loss,
 )
 from .design_encoder import DesignMLP, design_encoder_apply, unroll_design_sequence
 from .node import NODEDynamics, NODEEnergyModel, node_loss

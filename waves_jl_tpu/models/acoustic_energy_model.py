@@ -232,14 +232,18 @@ class AcousticEnergyModel:
         return compute_latent_energy(z, self.dx)
 
     def predict_shot_energy(self, params, obs_wave, s_design, actions, t,
-                            x=None) -> jax.Array:
+                            x=None, remat: bool = False) -> jax.Array:
         """Fastest MPC selection path: (S,) CUMULATIVE scattered energy
         (== `predict_shots(...)[:, :, 2].sum(axis=1)`, the RandomShooting
         cost) accumulated in the scan carry — the (L, S, 4, E) latent
         trajectory is never materialized, killing ~2x its HBM write+read
         traffic during action selection. `x` optionally passes a
         precomputed `encode_wave` result so iterated controllers (CEM)
-        do not re-run the conv encoder per refinement round."""
+        do not re-run the conv encoder per refinement round. `remat=True`
+        checkpoints each step so the path is differentiable at O(steps x
+        carry) instead of O(steps x residuals) memory — used when this
+        quantity is a TRAINING loss (`pool_ranking_loss`), not just an
+        inference ranking."""
         z0, theta = self._shot_setup(params, obs_wave, s_design, actions, t, x)
         dx = self.dx
 
@@ -254,7 +258,9 @@ class AcousticEnergyModel:
             z2 = self.integrator.step(z, tt, theta)
             return (z2, acc + sc_energy(z2)), None
 
-        (_, acc), _ = jax.lax.scan(body, (z0, sc_energy(z0)), ts)
+        (_, acc), _ = jax.lax.scan(
+            body if not remat else jax.checkpoint(body), (z0, sc_energy(z0)), ts
+        )
         return acc
 
 
@@ -262,6 +268,59 @@ def energy_loss(model: AcousticEnergyModel, params, batch) -> jax.Array:
     """MSE on all three energy channels (reference `scripts/main.jl:10-12`)."""
     pred = model(params, batch)
     return jnp.mean((pred - batch["y"]) ** 2)
+
+
+def pool_ranking_loss(model: AcousticEnergyModel, params, pools,
+                      tau: float = 1.0, listwise_weight: float = 0.5):
+    """Ranking distillation on exact-evaluated candidate pools
+    (`control.make_pool_probe_fused`): per pool, the surrogate's predicted
+    cumulative scattered energies over K candidate action sequences are
+    matched to the TRUE simulated energies *in pool-normalized (z-scored)
+    units* — only the candidate ORDERING carries gradient, not the energy
+    scale (surrogate latent energies and coarse-grid simulated energies
+    live in different units). A listwise softmax cross-entropy term
+    (temperature `tau` in z-units) sharpens fidelity where MPC needs it:
+    at the low-energy end the argmin is read from.
+
+    pools: {"s_wave": (P, res, res, C), "s_design": (P,) design pytree,
+            "t0": (P,), "a": (P, K, H) action pytree, "y_true": (P, K)}
+    Returns scalar loss. Mix with `energy_loss` on ordinary windows to
+    anchor calibration (`scripts_tpu/train_pools.py`).
+    """
+    K = pools["y_true"].shape[1]
+    H = jax.tree_util.tree_leaves(pools["a"])[0].shape[2]
+    from ..physics.dynamics import build_tspan
+
+    tgrid = build_tspan(0.0, model.integrator.dt, model.integration_steps * H)
+
+    def one_pool(s_wave, s_design, t0, a):
+        t = jnp.broadcast_to((t0 + tgrid)[None], (K, tgrid.shape[0]))
+        return model.predict_shot_energy(params, s_wave, s_design, a, t,
+                                         remat=True)
+
+    e_hat = jax.vmap(one_pool)(
+        pools["s_wave"], pools["s_design"], pools["t0"], pools["a"]
+    )  # (P, K)
+
+    def z(v):
+        return (v - jnp.mean(v, axis=1, keepdims=True)) / (
+            jnp.std(v, axis=1, keepdims=True) + 1e-6
+        )
+
+    y = pools["y_true"].astype(jnp.float32)
+    ze, zy = z(e_hat), z(y)
+    # pools whose candidates all score ~the same (e.g. states before the
+    # wavefront reaches the scatterers: every y_true is 0) carry no ranking
+    # signal — weight each pool by its relative true spread so they
+    # contribute nothing instead of noise
+    sd = jnp.std(y, axis=1)
+    w = sd / (sd + 0.01 * jnp.abs(jnp.mean(y, axis=1)) + 1e-6)  # (P,)
+    wsum = jnp.sum(w) + 1e-6
+    zmse = jnp.sum(w * jnp.mean((ze - zy) ** 2, axis=1)) / wsum
+    p_true = jax.nn.softmax(-zy / tau, axis=1)
+    logq = jax.nn.log_softmax(-ze / tau, axis=1)
+    listwise = jnp.sum(w * (-jnp.sum(p_true * logq, axis=1))) / wsum
+    return zmse + listwise_weight * listwise
 
 
 def energy_loss_ranking(model: AcousticEnergyModel, params, batch,
