@@ -68,7 +68,9 @@ def scattered_tail_mean(signals):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--data", required=True)
+    p.add_argument("--data", default=None,
+                   help="unused; kept for launcher compatibility "
+                        "(the protocol builds its own envs/resets)")
     p.add_argument("--checkpoint", default=None, nargs="+",
                    help="surrogate checkpoint(s); several for --controller "
                         "ensemble (not needed for --controller oracle)")
