@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import itertools
 import json
 import os
 import sys
@@ -218,11 +219,12 @@ def main():
             )
             step += 1
             if step % args.val_every == 0 or s + args.batch_pools >= P:
-                vm = float(
-                    np.mean([float(val_mse(params, b)) for b in
-                             dataloader(val_data, args.batch,
-                                        jax.random.PRNGKey(step))][:10])
-                )
+                vloader = dataloader(val_data, args.batch,
+                                     jax.random.PRNGKey(step))
+                vm = float(np.mean([
+                    float(val_mse(params, b))
+                    for b in itertools.islice(vloader, 10)
+                ]))
                 pm = pool_metrics(model, params, val_pools)
                 rec = {"step": step, "epoch": epoch,
                        "anchor": float(anchor), "rank": float(rank),
