@@ -138,7 +138,9 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
-    env = build_env(64, args.steps, 1)  # spaces only (treedefs for loading)
+    # spaces only (treedefs for loading pools); grid must exceed the 128^2
+    # observation resolution but is otherwise never integrated
+    env = build_env(256, args.steps, 1)
     paths = sorted(
         glob.glob(os.path.join(args.pools, "pools*.npz")),
         key=lambda q: int("".join(c for c in os.path.basename(q) if c.isdigit())),
