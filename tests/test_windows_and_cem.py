@@ -519,6 +519,17 @@ def test_pool_probe_fused(setup, tmp_path):
     from waves_jl_tpu.control import make_pool_probe_fused
 
     env, eps, model, params = setup
+    # probe from an env whose source sits at the cloak center: with only
+    # 2*STEPS integration steps the setup fixture's corner source never
+    # reaches the scatterers, so y_true would have zero spread across
+    # candidates and the spread-weighted ranking loss (correctly) carries
+    # no gradient — the test needs real scattering signal
+    grid = w.build_grid(env.dim)
+    src = w.GaussianSource.create(
+        grid, jnp.array([[0.0, 0.0]]), jnp.array([[0.0, 0.0]]),
+        jnp.array([0.3]), jnp.array([1.0]), 1000.0,
+    )
+    env = dataclasses.replace(env, source=src)
     probe, step = make_pool_probe_fused(
         env, K=3, horizon=2, alpha=1.0, interpret=True
     )
