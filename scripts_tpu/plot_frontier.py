@@ -38,14 +38,16 @@ POINTS = [
     ("mpc_results_ens2.json", "surrogate", None),
     ("mpc_results_h8s4_hor8.json", "surrogate", None),
     ("mpc_results_rank400.json", "surrogate", None),
-    ("mpc_results_pools_shoot.json", "surrogate", "distilled"),
-    ("mpc_results_pools_cem.json", "surrogate", "distilled CEM"),
+    ("mpc_results_pools_shoot.json", "distilled", "shooting"),
+    ("mpc_results_pools_cem.json", "distilled", "CEM (record)"),
+    ("mpc_results_pools_hybrid32.json", "hybrid", "distilled topk=32"),
 ]
 
 FAMILIES = {  # palette slots 1-3 (validated all-pairs subset)
     "hybrid": ("#2a78d6", "Hybrid prune + exact re-rank", "o"),
     "oracle": ("#eb6834", "True-simulator oracle", "s"),
     "surrogate": ("#1baf7a", "Pure surrogate", "^"),
+    "distilled": ("#8a63d2", "Ranking-distilled surrogate", "D"),
 }
 SURFACE, INK, INK2 = "#fcfcfb", "#0b0b0b", "#52514e"
 
