@@ -87,6 +87,11 @@ def main():
                         "equivalent at ~(n/m)^2 the cost)")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--actions", type=int, default=20)
+    p.add_argument("--refine-samples", type=int, default=0,
+                   help="exact-elite Gaussian resamples added to each pool "
+                        "(near-optimal contrast candidates; pool size grows "
+                        "to pool + refine_samples)")
+    p.add_argument("--refine-elites", type=int, default=4)
     p.add_argument("--seed", type=int, default=1000)
     args = p.parse_args()
 
@@ -98,11 +103,14 @@ def main():
         json.dump({"n": args.n, "rerank_n": args.rerank_n, "pool": args.pool,
                    "horizon": args.horizon, "alpha": args.alpha,
                    "epsilon": args.epsilon, "steps": args.steps,
-                   "actions": args.actions, "episodes": args.episodes}, f)
+                   "actions": args.actions, "episodes": args.episodes,
+                   "refine_samples": args.refine_samples,
+                   "refine_elites": args.refine_elites}, f)
 
     probe, step = make_pool_probe_fused(
         env, K=args.pool, horizon=args.horizon, alpha=args.alpha,
         rerank_env=rerank_env,
+        refine_samples=args.refine_samples, refine_elites=args.refine_elites,
     )
     policy = RandomDesignPolicy(env.action_space)
     rng = np.random.default_rng(args.seed)

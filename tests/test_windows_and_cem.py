@@ -581,6 +581,48 @@ def test_pool_probe_fused(setup, tmp_path):
     assert gnorm > 0.0
 
 
+def test_pool_probe_refined(setup):
+    """Refined pool probe (refine_samples > 0): the pool grows by the
+    exact-elite Gaussian resamples, every refined candidate respects the
+    action-space box, and the returned action is the exact-cost argmin of
+    the COMBINED pool."""
+    from waves_jl_tpu.control import make_pool_probe_fused
+
+    env, eps, model, params = setup
+    grid = w.build_grid(env.dim)
+    src = w.GaussianSource.create(
+        grid, jnp.array([[0.0, 0.0]]), jnp.array([[0.0, 0.0]]),
+        jnp.array([0.3]), jnp.array([1.0]), 1000.0,
+    )
+    env = dataclasses.replace(env, source=src)
+    K, R = 4, 3
+    probe, step = make_pool_probe_fused(
+        env, K=K, horizon=2, alpha=1.0, refine_samples=R, refine_elites=2,
+        interpret=True,
+    )
+    state = env_reset(env, jax.random.PRNGKey(41))
+    pool, a = probe(state, jax.random.PRNGKey(42))
+    assert pool["y_true"].shape == (K + R,)
+    assert pool["penalty"].shape == (K + R,)
+    assert np.all(np.isfinite(np.asarray(pool["y_true"])))
+    for leaf, lo, hi in zip(
+        jax.tree_util.tree_leaves(pool["a"]),
+        jax.tree_util.tree_leaves(env.action_space.low),
+        jax.tree_util.tree_leaves(env.action_space.high),
+    ):
+        v = np.asarray(leaf)[K:]  # the refined tail
+        assert np.all(v >= np.asarray(lo) - 1e-6)
+        assert np.all(v <= np.asarray(hi) + 1e-6)
+    idx = int(jnp.argmin(pool["y_true"] + pool["penalty"]))
+    for x, y in zip(
+        jax.tree_util.tree_leaves(a),
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda v: v[idx, 0], pool["a"])
+        ),
+    ):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
 def test_mpc_episode_recorded(setup):
     """On-policy recorded episodes have the standard Episode layout, are
     windowable by prepare_data, and the epsilon action mixing actually

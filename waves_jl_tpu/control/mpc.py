@@ -625,6 +625,7 @@ def make_hybrid_episode_fused(env: WaveEnv, model, horizon: int = 5,
 def make_pool_probe_fused(env: WaveEnv, K: int = 16, horizon: int = 5,
                           alpha: float = 1.0,
                           rerank_env: WaveEnv | None = None,
+                          refine_samples: int = 0, refine_elites: int = 4,
                           tile_interior: int = 48, interpret: bool = False):
     """Exact-ranked candidate-pool probe for ranking distillation: at one
     state, sample K uniform candidate action sequences and evaluate each
@@ -648,6 +649,15 @@ def make_pool_probe_fused(env: WaveEnv, K: int = 16, horizon: int = 5,
     on-policy states. Beyond-reference (the reference trains on random
     episode windows only, `scripts/data.jl:53-76`). No surrogate is needed
     at collection time.
+
+    With `refine_samples > 0` the pool additionally contains candidates
+    concentrated near the optimum: a diagonal Gaussian is refit to the
+    `refine_elites` exact-best uniform candidates and `refine_samples`
+    clipped resamples are exact-scored too (pool size K + refine_samples).
+    Uniform-only pools teach coarse ordering; a CEM controller on the
+    distilled surrogate spends its later iterations discriminating among
+    near-optimal sequences, which is exactly the regime the refined half
+    supervises.
     """
     from ..physics.fused import make_env_step_fused
 
@@ -662,19 +672,45 @@ def make_pool_probe_fused(env: WaveEnv, K: int = 16, horizon: int = 5,
         step_lo = step
 
     def probe(st, k):
-        actions = build_action_sequence(env.action_space, k, horizon, K)
-        penalty = compute_action_cost(actions)
+        k_unif, k_ref = jax.random.split(k)
+        actions = build_action_sequence(env.action_space, k_unif, horizon, K)
         st_rr = coarsen_env_state(rerank_env, st) if rerank_env is not None else st
 
-        def one_shot(carry, acts_s):
-            def roll(st_h, a):
-                st2, _ = step_lo(st_h, a)
-                return st2, jnp.sum(st2.signal[1:, 2])
+        def score(acts):
+            def one_shot(carry, acts_s):
+                def roll(st_h, a):
+                    st2, _ = step_lo(st_h, a)
+                    return st2, jnp.sum(st2.signal[1:, 2])
 
-            _, scs = jax.lax.scan(roll, st_rr, acts_s)
-            return carry, jnp.sum(scs)
+                _, scs = jax.lax.scan(roll, st_rr, acts_s)
+                return carry, jnp.sum(scs)
 
-        _, y_true = jax.lax.scan(one_shot, None, actions)
+            _, y = jax.lax.scan(one_shot, None, acts)
+            return y
+
+        y_true = score(actions)
+        if refine_samples > 0:
+            # refit a diagonal Gaussian to the exact-best uniform elites and
+            # exact-score clipped resamples — near-optimal contrast labels
+            cost0 = y_true + alpha * compute_action_cost(actions)
+            _, elite_idx = jax.lax.top_k(-cost0, refine_elites)
+            elite = jax.tree_util.tree_map(lambda v: v[elite_idx], actions)
+            mu = jax.tree_util.tree_map(
+                lambda v: jnp.mean(v, axis=0, keepdims=True), elite)
+            sd = jax.tree_util.tree_map(
+                lambda v: jnp.std(v, axis=0, keepdims=True), elite)
+            bcast = lambda v: jnp.broadcast_to(
+                v, (refine_samples, horizon, *v.shape))
+            low = jax.tree_util.tree_map(bcast, env.action_space.low)
+            high = jax.tree_util.tree_map(bcast, env.action_space.high)
+            noise = _tree_normal(k_ref, low)
+            fresh = tree_clamp(
+                jax.tree_util.tree_map(lambda m, s, n: m + s * n, mu, sd, noise),
+                low, high)
+            actions = jax.tree_util.tree_map(
+                lambda u, f: jnp.concatenate([u, f], axis=0), actions, fresh)
+            y_true = jnp.concatenate([y_true, score(fresh)], axis=0)
+        penalty = compute_action_cost(actions)
         obs = env_observe(env, st)
         pool = {
             "s_wave": obs.wave,
