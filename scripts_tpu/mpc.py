@@ -117,6 +117,9 @@ def main():
                         "at --rerank-n 350, anything at 175)")
     p.add_argument("--cem-iters", type=int, default=3)
     p.add_argument("--cem-elites", type=int, default=32)
+    p.add_argument("--cem-warm", action="store_true",
+                   help="receding-horizon warm start: the previous "
+                        "selection's shifted plan seeds each round-0 pool")
     p.add_argument("--latent-stride", type=int, default=1,
                    help="latent-dt coarsening of the surrogate checkpoint "
                         "(must match how it was trained)")
@@ -172,7 +175,7 @@ def main():
     elif args.controller == "cem":
         mpc = CEMShooting(model=model, horizon=args.horizon, shots=args.shots,
                           alpha=args.alpha, iters=args.cem_iters,
-                          elites=args.cem_elites)
+                          elites=args.cem_elites, warm=args.cem_warm)
     elif args.controller == "ensemble":
         from waves_jl_tpu.control import EnsembleShooting
 
@@ -319,6 +322,7 @@ def main():
         "topk": args.topk if args.controller == "hybrid" else None,
         "rerank_n": args.rerank_n if args.controller == "hybrid" else None,
         "hybrid_cem": args.hybrid_cem if args.controller == "hybrid" else None,
+        "cem_warm": args.cem_warm if args.controller == "cem" else None,
         "exact_rounds": (args.exact_rounds
                          if args.controller == "hybrid" else None),
         "actions": args.actions,

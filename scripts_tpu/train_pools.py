@@ -113,7 +113,10 @@ def pool_metrics(model, params, pools, batch_p: int = 8):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True, nargs="+")
-    p.add_argument("--pools", required=True)
+    p.add_argument("--pools", required=True, nargs="+",
+                   help="one or more pool dirs; sets with different pool "
+                        "sizes K are grouped and interleaved round-robin "
+                        "(each K gets its own jit specialization)")
     p.add_argument("--init-from", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--episodes", type=int, default=500)
@@ -141,18 +144,26 @@ def main():
     # spaces only (treedefs for loading pools); grid must exceed the 128^2
     # observation resolution but is otherwise never integrated
     env = build_env(256, args.steps, 1)
-    paths = sorted(
-        glob.glob(os.path.join(args.pools, "pools*.npz")),
-        key=lambda q: int("".join(c for c in os.path.basename(q) if c.isdigit())),
-    )
-    assert paths, f"no pools under {args.pools}"
-    pool_sets = [load_pools(q, env) for q in paths]
-    n_val = max(1, len(pool_sets) // 10)
-    val_pools = concat_pools(pool_sets[-n_val:])
-    train_pools = concat_pools(pool_sets[:-n_val])
-    P = int(train_pools["y_true"].shape[0])
-    print(f"pools: {P} train / {int(val_pools['y_true'].shape[0])} val "
-          f"(K={int(train_pools['y_true'].shape[1])})")
+    by_k: dict[int, list] = {}
+    for pdir in args.pools:
+        paths = sorted(
+            glob.glob(os.path.join(pdir, "pools*.npz")),
+            key=lambda q: int(
+                "".join(c for c in os.path.basename(q) if c.isdigit())),
+        )
+        assert paths, f"no pools under {pdir}"
+        for q in paths:
+            ps = load_pools(q, env)
+            by_k.setdefault(int(ps["y_true"].shape[1]), []).append(ps)
+    train_groups, val_groups = [], []
+    for k_size in sorted(by_k):
+        sets = by_k[k_size]
+        n_val = max(1, len(sets) // 10)
+        val_groups.append(concat_pools(sets[-n_val:]))
+        train_groups.append(concat_pools(sets[:-n_val]))
+        print(f"pools K={k_size}: "
+              f"{int(train_groups[-1]['y_true'].shape[0])} train / "
+              f"{int(val_groups[-1]['y_true'].shape[0])} val")
 
     train_data, val_data = load_dataset(
         args.data, args.episodes, args.horizon, stride=args.latent_stride
@@ -194,40 +205,74 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     metrics_path = os.path.join(args.out, "metrics.jsonl")
-    base = pool_metrics(model, params, val_pools)
+
+    def all_val_metrics(params):
+        """live-pool-weighted combination over the K-groups' val sets (a
+        single pool_metrics dict when only one group exists)."""
+        per = [pool_metrics(model, params, vg) for vg in val_groups]
+        live = [m for m in per if m["live_pools"]]
+        tot = sum(m["live_pools"] for m in live) or 1
+        comb = {
+            k: sum(m[k] * m["live_pools"] for m in live) / tot
+            for k in ("pool_zmse", "spearman", "top1", "regret")
+        } if live else {k: float("nan") for k in
+                        ("pool_zmse", "spearman", "top1", "regret")}
+        comb["live_pools"] = sum(m["live_pools"] for m in per)
+        comb["total_pools"] = sum(m["total_pools"] for m in per)
+        if len(per) > 1:
+            comb["regret_by_k"] = {
+                str(int(vg["y_true"].shape[1])): m["regret"]
+                for vg, m in zip(val_groups, per)
+            }
+        return comb
+
+    base = all_val_metrics(params)
     print(f"BEFORE: {base}")
     with open(metrics_path, "a") as f:
         f.write(json.dumps({"step": 0, **base}) + "\n")
 
     key = jax.random.PRNGKey(args.seed)
+    rng = np.random.default_rng(args.seed)
     step = 0
     best = (float("inf"), None)
     for epoch in range(args.epochs):
-        key, k_perm, k_loader = jax.random.split(key, 3)
-        perm = jax.random.permutation(k_perm, P)
+        key, k_loader = jax.random.split(key)
+        # one shuffled schedule of (group, batch-start) over every K-group
+        schedule = []
+        perms = []
+        for g, tg in enumerate(train_groups):
+            Pg = int(tg["y_true"].shape[0])
+            perms.append(rng.permutation(Pg))
+            schedule += [
+                (g, s) for s in
+                range(0, Pg - Pg % args.batch_pools, args.batch_pools)
+            ]
+        rng.shuffle(schedule)
         loader = dataloader(train_data, args.batch, k_loader)
         wb_iter = iter(loader)
-        for s in range(0, P - P % args.batch_pools, args.batch_pools):
+        for bi, (g, s) in enumerate(schedule):
             try:
                 wbatch = next(wb_iter)
             except StopIteration:
                 key, k_loader = jax.random.split(key)
                 wb_iter = iter(dataloader(train_data, args.batch, k_loader))
                 wbatch = next(wb_iter)
-            pbatch = index_pools(train_pools, perm[s : s + args.batch_pools])
+            pbatch = index_pools(
+                train_groups[g], perms[g][s : s + args.batch_pools]
+            )
             t0 = time.time()
             params, opt_state, anchor, rank = update(
                 params, opt_state, wbatch, pbatch
             )
             step += 1
-            if step % args.val_every == 0 or s + args.batch_pools >= P:
+            if step % args.val_every == 0 or bi + 1 == len(schedule):
                 vloader = dataloader(val_data, args.batch,
                                      jax.random.PRNGKey(step))
                 vm = float(np.mean([
                     float(val_mse(params, b))
                     for b in itertools.islice(vloader, 10)
                 ]))
-                pm = pool_metrics(model, params, val_pools)
+                pm = all_val_metrics(params)
                 rec = {"step": step, "epoch": epoch,
                        "anchor": float(anchor), "rank": float(rank),
                        "val_mse": vm, **pm,

@@ -278,6 +278,39 @@ def test_cem_improves_on_random_round0(setup):
     assert float(info_c["cost"].min()) <= float(info_r["cost"].min()) + 1e-6
 
 
+def test_cem_warm_start(setup):
+    """Warm-started CEM: an incumbent replaces round-0 candidate 0 (so the
+    population min can only improve on the same-key cold run), and the
+    episode-fused warm program runs end-to-end with finite costs."""
+    from waves_jl_tpu.control import make_mpc_episode_fused
+
+    env, eps, model, params = setup
+    state = env_reset(env, jax.random.PRNGKey(9))
+    key = jax.random.PRNGKey(10)
+    cem = CEMShooting(model=model, horizon=2, shots=8, alpha=1.0, iters=1,
+                      elites=2)
+    a_cold, info_cold = cem(params, env, state, key)
+    # seed with the cold run's best plan: must be found again (or beaten)
+    _, info_warm = cem(params, env, state, key, incumbent=info_cold["seq"])
+    assert float(info_warm["cost"].min()) <= float(info_cold["cost"].min()) + 1e-6
+    # the returned seq's first window IS the chosen action
+    for x, y in zip(
+        jax.tree_util.tree_leaves(a_cold),
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda v: v[0], info_cold["seq"])
+        ),
+    ):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+    warm_cem = CEMShooting(model=model, horizon=2, shots=4, alpha=1.0,
+                           iters=1, elites=2, warm=True)
+    run = make_mpc_episode_fused(env, warm_cem, interpret=True)
+    final, signals, costs = run(params, state, jax.random.PRNGKey(11))
+    assert np.isfinite(np.asarray(costs)).all()
+    assert signals.shape[0] == env.actions
+    assert int(final.time_step) == env.actions * env.integration_steps
+
+
 def test_ensemble_shooting(setup):
     """A one-member beta=0 ensemble IS random shooting (same key -> same
     action); two members with beta>0 adds the disagreement penalty."""

@@ -173,17 +173,28 @@ class CEMShooting:
     iters: int = 3
     elites: int = 32
     noise_floor: float = 0.0  # optional stddev floor to keep exploring
+    warm: bool = False  # receding-horizon warm start (episode-fused path)
 
-    def __call__(self, params, env: WaveEnv, state: EnvState, key: jax.Array):
-        actions, cost = self.population(params, env, state, key)
+    def __call__(self, params, env: WaveEnv, state: EnvState, key: jax.Array,
+                 incumbent=None):
+        actions, cost = self.population(params, env, state, key,
+                                        incumbent=incumbent)
         idx = jnp.argmin(cost)
         first = jax.tree_util.tree_map(lambda v: v[idx, 0], actions)
-        return first, {"cost": cost, "idx": idx}
+        seq = jax.tree_util.tree_map(lambda v: v[idx], actions)
+        return first, {"cost": cost, "idx": idx, "seq": seq}
 
-    def population(self, params, env: WaveEnv, state: EnvState, key: jax.Array):
+    def population(self, params, env: WaveEnv, state: EnvState, key: jax.Array,
+                   incumbent=None):
         """The final refined (shots, horizon) population and its surrogate
         costs — exposed so the hybrid prune/re-rank controller can prune a
-        CEM-refined pool instead of raw uniform samples."""
+        CEM-refined pool instead of raw uniform samples.
+
+        `incumbent` (an (H,) action-sequence pytree, e.g. the previous
+        selection's plan shifted one window left) replaces candidate 0 of
+        the round-0 population: classic receding-horizon warm starting —
+        the refit Gaussian then concentrates around a known-good plan
+        instead of re-discovering it from uniform samples every action."""
         obs = env_observe(env, state)
         t = selection_tspan(self.model, env, state, self.horizon, self.shots)
         x = (
@@ -210,6 +221,10 @@ class CEMShooting:
 
         key, k0 = jax.random.split(key)
         actions = build_action_sequence(env.action_space, k0, self.horizon, self.shots)
+        if incumbent is not None:
+            actions = jax.tree_util.tree_map(
+                lambda v, inc: v.at[0].set(inc), actions, incumbent
+            )
         cost = eval_cost(actions)
 
         for _ in range(self.iters):
@@ -255,9 +270,37 @@ def make_mpc_episode_fused(env: WaveEnv, mpc: "RandomShooting",
     from ..physics.fused import make_env_step_fused
 
     step = make_env_step_fused(env, tile_interior, interpret, jit=False)
+    warm = bool(getattr(mpc, "warm", False))
 
     @jax.jit
     def run(params, state: EnvState, key: jax.Array):
+        if warm:
+            # receding-horizon carry: the previous selection's plan, shifted
+            # one window left (last window repeated), seeds the next round-0
+            # population; the first action starts from the box midpoint
+            mid = jax.tree_util.tree_map(
+                lambda lo, hi: jnp.broadcast_to(
+                    (lo + hi) / 2.0, (mpc.horizon, *lo.shape)
+                ),
+                env.action_space.low, env.action_space.high,
+            )
+
+            def body(carry, k):
+                st, inc = carry
+                a, info = mpc(params, env, st, k, incumbent=inc)
+                st2, _ = step(st, a)
+                nxt = jax.tree_util.tree_map(
+                    lambda v: jnp.concatenate([v[1:], v[-1:]], axis=0),
+                    info["seq"],
+                )
+                return (st2, nxt), (st2.signal, info["cost"][info["idx"]])
+
+            keys = jax.random.split(key, env.actions)
+            (final, _), (signals, costs) = jax.lax.scan(
+                body, (state, mid), keys
+            )
+            return final, signals, costs
+
         def body(carry, k):
             st = carry
             a, info = mpc(params, env, st, k)
