@@ -92,6 +92,16 @@ def main():
                         "(near-optimal contrast candidates; pool size grows "
                         "to pool + refine_samples)")
     p.add_argument("--refine-elites", type=int, default=4)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="distilled surrogate checkpoint — enables the DAgger "
+                        "harvest: episodes advance under THIS controller's "
+                        "CEM choice and --searcher-samples of each pool are "
+                        "its own surrogate-best proposals")
+    p.add_argument("--searcher-samples", type=int, default=8)
+    p.add_argument("--cem-iters", type=int, default=3)
+    p.add_argument("--cem-elites", type=int, default=32)
+    p.add_argument("--shots", type=int, default=256)
+    p.add_argument("--latent-stride", type=int, default=4)
     p.add_argument("--seed", type=int, default=1000)
     args = p.parse_args()
 
@@ -105,12 +115,44 @@ def main():
                    "epsilon": args.epsilon, "steps": args.steps,
                    "actions": args.actions, "episodes": args.episodes,
                    "refine_samples": args.refine_samples,
-                   "refine_elites": args.refine_elites}, f)
+                   "refine_elites": args.refine_elites,
+                   "checkpoint": args.checkpoint,
+                   "searcher_samples":
+                       args.searcher_samples if args.checkpoint else 0,
+                   "shots": args.shots if args.checkpoint else None}, f)
+
+    searcher, params = None, None
+    if args.checkpoint:
+        import waves_jl_tpu as w
+        from waves_jl_tpu.control import CEMShooting
+        from waves_jl_tpu.models import AcousticEnergyModel
+        from waves_jl_tpu.train import load_checkpoint
+        from __graft_entry__ import _tiny_batch
+
+        model = AcousticEnergyModel.create(
+            design_space=w.build_triple_ring_design_space(),
+            source_freq=1000.0, elements=1024, h_size=256, nfreq=500,
+            integration_steps=args.steps // args.latent_stride,
+            dt=1e-5 * args.latent_stride,
+        )
+        like = model.init(
+            jax.random.PRNGKey(0),
+            _tiny_batch(model, B=1, horizon=1,
+                        steps=args.steps // args.latent_stride, res=128),
+        )
+        params, _, step_no = load_checkpoint(args.checkpoint, like)
+        print(f"DAgger harvest under CEM on checkpoint step {step_no}")
+        searcher = CEMShooting(
+            model=model, horizon=args.horizon, shots=args.shots,
+            alpha=args.alpha, iters=args.cem_iters, elites=args.cem_elites,
+        )
 
     probe, step = make_pool_probe_fused(
         env, K=args.pool, horizon=args.horizon, alpha=args.alpha,
         rerank_env=rerank_env,
         refine_samples=args.refine_samples, refine_elites=args.refine_elites,
+        searcher=searcher,
+        searcher_samples=args.searcher_samples if searcher else 0,
     )
     policy = RandomDesignPolicy(env.action_space)
     rng = np.random.default_rng(args.seed)
@@ -124,7 +166,10 @@ def main():
         last = time.time()
         while not bool(env_terminated(env, state)):
             key, k_pool, k_rnd = jax.random.split(key, 3)
-            pool, a_best = probe(state, k_pool)
+            if searcher is None:
+                pool, a_best = probe(state, k_pool)
+            else:
+                pool, a_best = probe(params, state, k_pool)
             pools.append(jax.device_get(pool))
             a = policy(k_rnd) if rng.random() < args.epsilon else a_best
             state, _ = step(state, a)

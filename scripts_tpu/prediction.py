@@ -29,11 +29,11 @@ from waves_jl_tpu.train import load_checkpoint
 
 
 def sweep(model, params, eps, horizons, batch: int, batches: int, scalar_out: bool,
-          stride: int = 1):
+          stride: int = 1, fwd_fn=None):
     errors = {}
     for h in horizons:
         data = concat_datasets([prepare_data(ep, h, stride) for ep in eps])
-        fwd = jax.jit(lambda p, b: model(p, b))
+        fwd = jax.jit(fwd_fn or (lambda p, b: model(p, b)))
         errs = []
         for i, b in enumerate(dataloader(data, batch, jax.random.PRNGKey(0))):
             pred = np.asarray(fwd(params, b))
@@ -72,6 +72,11 @@ def main():
     p.add_argument("--elements", type=int, default=1024)
     p.add_argument("--latent-stride", type=int, default=1,
                    help="latent-dt coarsening of the acoustic checkpoint")
+    p.add_argument("--pinn-chunk", type=int, default=16,
+                   help="PINC field-net time-rows per evaluation chunk "
+                        "(bounds live activations to (B, chunk*E, h) so "
+                        "long horizons fit HBM; 0 = unchunked full-field "
+                        "path)")
     args = p.parse_args()
 
     if os.path.exists(args.json_out) and not args.force:
@@ -121,8 +126,12 @@ def main():
                           _tiny_batch(model, B=1, horizon=1,
                                       steps=100 // mstride, res=128))
         params, _, _ = load_checkpoint(ckpt, like)
+        fwd_fn = None
+        if name == "pinn" and args.pinn_chunk:
+            chunk = args.pinn_chunk
+            fwd_fn = lambda p, b: model.predict_energy(p, b, time_chunk=chunk)
         results[name] = sweep(model, params, eps, args.horizons, args.batch,
-                              args.batches, scalar_out, mstride)
+                              args.batches, scalar_out, mstride, fwd_fn=fwd_fn)
 
     with open(args.json_out, "w") as f:
         json.dump({k: {str(h): v for h, v in r.items()} for k, r in results.items()}, f)

@@ -102,6 +102,24 @@ def test_pinn_model(data):
     assert losses[-1] < losses[0], losses
 
 
+def test_pinn_predict_energy_matches_call(data):
+    """predict_energy (energy-only scan, optional chunked field-net rows)
+    must agree with the full-field __call__ path to float32 tolerance —
+    it is the memory-bounded route for the reference's long-horizon sweep
+    (`scripts/prediction.jl:60-91`)."""
+    data1, data2 = data
+    model = WaveControlPINN.create(
+        design_space=w.build_triple_ring_design_space(),
+        source_freq=1000.0,
+        elements=E, h_size=H_SIZE, nfreq=NFREQ, l_size=8, integration_steps=STEPS,
+    )
+    params = model.init(jax.random.PRNGKey(0), data1)
+    ref = np.asarray(model(params, data2))
+    for chunk in (None, 4, 7):
+        got = np.asarray(model.predict_energy(params, data2, time_chunk=chunk))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
 def test_pinn_acceptance_smoke(tmp_path, monkeypatch):
     """Tiny run of the SimpleWave standalone-PINN acceptance recipe
     (reference `test/pinn.jl`): losses finite and decreasing."""

@@ -199,3 +199,65 @@ def test_batched_kernel_matches_unbatched():
         np.testing.assert_allclose(
             np.asarray(e_b[j]), np.asarray(e1), rtol=1e-6, atol=1e-12
         )
+
+
+def test_ghost16_spc4_matches_spc1():
+    """4 RK4 steps per kernel call with a 16-row ghost band == 4 sequential
+    spc=1 calls (same stencils; wider halo consumed in-VMEM). Guards the
+    `ghost` parametrization added for the steps_per_call=4 roofline probe."""
+    from waves_jl_tpu.ops.pallas_fd import (
+        make_fused_acoustic_step,
+        pad_state,
+        padded_dims,
+        unpad_state,
+    )
+    from waves_jl_tpu.physics.fused import cyl_params
+
+    env = _env(n=96, steps=8, actions=1)
+    n = 96
+    spacing = 2.0 * 15.0 / (n - 1)
+    kw = dict(
+        n=n, spacing=spacing, dt=1e-5, c0=float(w.WATER), freq=1000.0,
+        n_cyl=19, x_min=-15.0, interpret=True, radii_only=True,
+        x_matmul=False,
+    )
+    step1 = make_fused_acoustic_step(steps_per_call=1, ghost=8, **kw)
+    step4 = make_fused_acoustic_step(steps_per_call=4, ghost=16, **kw)
+
+    d1 = env.design_space.sample(jax.random.PRNGKey(0))
+    d2 = env.design_space.sample(jax.random.PRNGKey(1))
+    cyl = cyl_params(d1, d2)
+    state = env_reset(env, jax.random.PRNGKey(2))
+    u_raw = jax.random.normal(jax.random.PRNGKey(3), (12, n, n), jnp.float32) * 1e-3
+    dyn = env.integrator.dynamics
+    prof = dyn.pml[:, 0]
+
+    def profiles(ghost):
+        px, py, _ = padded_dims(n, 48, ghost)
+        prof_x = jnp.pad(prof, (ghost, px - ghost - n), mode="edge")[:, None]
+        prof_y = jnp.pad(prof, (0, py - n), mode="edge")[None, :]
+        return prof_x, prof_y
+
+    px1, py1 = profiles(8)
+    px4, py4 = profiles(16)
+    shape1 = pad_state(state.source.shape[None], 48, 8)[0]
+    shape4 = pad_state(state.source.shape[None], 48, 16)[0]
+
+    u1 = pad_state(u_raw, 48, 8)
+    es1 = []
+    for st in range(4):
+        scalars = jnp.array([st * 1e-5, 0.0, 1e-3, 0.0], jnp.float32)
+        u1, e = step1(u_pad=u1, shape_pad=shape1, prof_x=px1, prof_y=py1,
+                      scalars=scalars, cyl=cyl)
+        es1.append(e)
+    e1 = jnp.concatenate(es1, axis=0)  # (4, 3)
+
+    scalars = jnp.array([0.0, 0.0, 1e-3, 0.0], jnp.float32)
+    u4, e4 = step4(u_pad=pad_state(u_raw, 48, 16), shape_pad=shape4,
+                   prof_x=px4, prof_y=py4, scalars=scalars, cyl=cyl)
+
+    np.testing.assert_allclose(
+        np.asarray(unpad_state(u4, n, 16)), np.asarray(unpad_state(u1, n, 8)),
+        rtol=1e-6, atol=1e-9,
+    )
+    np.testing.assert_allclose(np.asarray(e4), np.asarray(e1), rtol=1e-6, atol=1e-12)

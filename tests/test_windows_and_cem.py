@@ -656,6 +656,52 @@ def test_pool_probe_refined(setup):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+def test_pool_probe_dagger_searcher(setup):
+    """DAgger pool probe (searcher mode): the first `searcher_samples`
+    candidates are the CEM searcher's surrogate-best proposals (sorted by
+    surrogate cost, so candidate 0 is the controller's plan), the advance
+    action is the SEARCHER's choice (candidate 0's first window), and the
+    uniform tail still fills the pool to K."""
+    from waves_jl_tpu.control import CEMShooting, make_pool_probe_fused
+
+    env, eps, model, params = setup
+    grid = w.build_grid(env.dim)
+    src = w.GaussianSource.create(
+        grid, jnp.array([[0.0, 0.0]]), jnp.array([[0.0, 0.0]]),
+        jnp.array([0.3]), jnp.array([1.0]), 1000.0,
+    )
+    env = dataclasses.replace(env, source=src)
+    K, S = 5, 3
+    searcher = CEMShooting(model=model, horizon=2, shots=6, alpha=1.0,
+                           iters=1, elites=3)
+    probe, step = make_pool_probe_fused(
+        env, K=K, horizon=2, alpha=1.0,
+        searcher=searcher, searcher_samples=S, interpret=True,
+    )
+    state = env_reset(env, jax.random.PRNGKey(41))
+    pool, a = probe(params, state, jax.random.PRNGKey(42))
+    assert pool["y_true"].shape == (K,)
+    assert np.all(np.isfinite(np.asarray(pool["y_true"])))
+    # the advance action is the searcher's plan = candidate 0's first window
+    for x, y in zip(
+        jax.tree_util.tree_leaves(a),
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda v: v[0, 0], pool["a"])
+        ),
+    ):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    # all candidates respect the action box
+    for leaf, lo, hi in zip(
+        jax.tree_util.tree_leaves(pool["a"]),
+        jax.tree_util.tree_leaves(env.action_space.low),
+        jax.tree_util.tree_leaves(env.action_space.high),
+    ):
+        assert np.all(np.asarray(leaf) >= np.asarray(lo) - 1e-6)
+        assert np.all(np.asarray(leaf) <= np.asarray(hi) + 1e-6)
+    s2, _ = step(state, a)
+    assert int(s2.time_step) == STEPS
+
+
 def test_mpc_episode_recorded(setup):
     """On-policy recorded episodes have the standard Episode layout, are
     windowable by prepare_data, and the epsilon action mixing actually

@@ -59,6 +59,46 @@ def test_throughput_floor():
     assert best >= 7000, f"throughput regression: {best:.0f} steps/s"
 
 
+def test_mpc_episode_latency_floor():
+    """Warm full 20x100 fused MPC episode must stay under the 1 s BASELINE
+    north star at the production operating point (700^2 env, stride-4
+    surrogate at reference scale, 256 shots, horizon 5 — the configuration
+    that measured 0.605 s warm in round 3, `mpc_results_h8s4.json`).
+
+    Latency is weight-independent, so random-init params suffice; what this
+    guards is the dispatch/selection path — e.g. a regression in the
+    stride-4 latent scan or the fused-episode program would ship green
+    without it (round-3 VERDICT weak #4)."""
+    from waves_jl_tpu.control import RandomShooting, make_mpc_episode_fused
+    from waves_jl_tpu.models import AcousticEnergyModel
+
+    env = _env(n=700, steps=100, actions=20)
+    model = AcousticEnergyModel.create(
+        design_space=w.build_triple_ring_design_space(), source_freq=1000.0,
+        elements=1024, h_size=256, nfreq=500, integration_steps=25, dt=4e-5,
+    )
+    from __graft_entry__ import _tiny_batch
+
+    params = model.init(
+        jax.random.PRNGKey(0), _tiny_batch(model, B=1, horizon=1, steps=25, res=128)
+    )
+    mpc = RandomShooting(model=model, horizon=5, shots=256, alpha=1.0)
+    run = make_mpc_episode_fused(env, mpc)
+    state = env_reset(env, jax.random.PRNGKey(1))
+    final, signals, _ = run(params, state, jax.random.PRNGKey(2))  # compile
+    jax.block_until_ready(signals)
+    assert int(final.time_step) == 20 * 100
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _, sig, _ = run(params, state, jax.random.PRNGKey(3 + i))
+        jax.block_until_ready(sig)
+        times.append(time.perf_counter() - t0)
+    warm = min(times)
+    assert warm < 1.0, f"MPC episode latency regression: {warm:.3f}s warm (floor 1.0s)"
+
+
 def test_fused_mpc_episode_smoke():
     """One tiny-but-real MPC episode through the fused whole-episode program
     (the BASELINE north-star path) on hardware: finite signals, advances to

@@ -669,6 +669,7 @@ def make_pool_probe_fused(env: WaveEnv, K: int = 16, horizon: int = 5,
                           alpha: float = 1.0,
                           rerank_env: WaveEnv | None = None,
                           refine_samples: int = 0, refine_elites: int = 4,
+                          searcher=None, searcher_samples: int = 0,
                           tile_interior: int = 48, interpret: bool = False):
     """Exact-ranked candidate-pool probe for ranking distillation: at one
     state, sample K uniform candidate action sequences and evaluate each
@@ -701,6 +702,16 @@ def make_pool_probe_fused(env: WaveEnv, K: int = 16, horizon: int = 5,
     distilled surrogate spends its later iterations discriminating among
     near-optimal sequences, which is exactly the regime the refined half
     supervises.
+
+    With `searcher` (a `CEMShooting` over the CURRENT distilled surrogate)
+    the probe becomes a true DAgger iteration: `searcher_samples` of the K
+    candidates are the searcher's own surrogate-best proposals (its final
+    refined population's top sequences — the exact distribution the
+    deployed controller must discriminate among), the rest stay uniform
+    for coverage, and the returned advance action is the SEARCHER'S choice
+    (surrogate argmin), so episodes visit the deployed controller's state
+    distribution rather than the exact-oracle's. The probe then takes
+    (params, state, key).
     """
     from ..physics.fused import make_env_step_fused
 
@@ -713,10 +724,29 @@ def make_pool_probe_fused(env: WaveEnv, K: int = 16, horizon: int = 5,
                                       jit=False)
     else:
         step_lo = step
+    if searcher is not None:
+        assert 0 < searcher_samples <= K, (searcher_samples, K)
+        assert searcher.horizon == horizon, (searcher.horizon, horizon)
 
-    def probe(st, k):
-        k_unif, k_ref = jax.random.split(k)
-        actions = build_action_sequence(env.action_space, k_unif, horizon, K)
+    def probe(st, k, params=None):
+        if searcher is None:
+            k_unif, k_ref = jax.random.split(k)
+            actions = build_action_sequence(env.action_space, k_unif, horizon, K)
+            a_ctrl = None
+        else:
+            k_cem, k_unif, k_ref = jax.random.split(k, 3)
+            pop, cost_s = searcher.population(params, env, st, k_cem)
+            idx_s = jnp.argmin(cost_s)
+            a_ctrl = jax.tree_util.tree_map(lambda v: v[idx_s, 0], pop)
+            _, top_idx = jax.lax.top_k(-cost_s, searcher_samples)
+            cands = jax.tree_util.tree_map(lambda v: v[top_idx], pop)
+            if searcher_samples < K:
+                unif = build_action_sequence(
+                    env.action_space, k_unif, horizon, K - searcher_samples)
+                actions = jax.tree_util.tree_map(
+                    lambda c, u: jnp.concatenate([c, u], axis=0), cands, unif)
+            else:
+                actions = cands
         st_rr = coarsen_env_state(rerank_env, st) if rerank_env is not None else st
 
         def score(acts):
@@ -763,11 +793,15 @@ def make_pool_probe_fused(env: WaveEnv, K: int = 16, horizon: int = 5,
             "y_true": y_true,
             "penalty": penalty,
         }
+        if a_ctrl is not None:
+            return pool, a_ctrl  # advance under the deployed controller
         idx = jnp.argmin(y_true + alpha * penalty)
         first = jax.tree_util.tree_map(lambda v: v[idx, 0], actions)
         return pool, first
 
-    return jax.jit(probe), jax.jit(step)
+    if searcher is None:
+        return jax.jit(probe), jax.jit(step)
+    return jax.jit(lambda params, st, k: probe(st, k, params)), jax.jit(step)
 
 
 def make_mpc_episode_recorded(env: WaveEnv, mpc, epsilon: float = 0.0,

@@ -162,24 +162,42 @@ class WaveControlPINN:
         chans = jnp.concatenate([x, f[:, None], pml[:, None], c_pair], axis=1)  # (B,8,E)
         return self.compressor.apply(params["compressor"], jnp.moveaxis(chans, 1, 2))
 
-    def pinn_window(self, params, l: jax.Array) -> jax.Array:
+    def pinn_window(self, params, l: jax.Array, time_chunk: int | None = None) -> jax.Array:
         """Evaluate the field net over the full (T+1, E) grid for each latent
         vector l (B, l_size) -> (B, T+1, 4, E) (reference `build_pinn_input`
-        + `compute_pinn_sol`, `src/model/pinn.jl:225-239`)."""
+        + `compute_pinn_sol`, `src/model/pinn.jl:225-239`).
+
+        ``time_chunk``: evaluate the field net ``time_chunk`` time-rows at a
+        time (``lax.map`` over row chunks) so the peak live activation is
+        (B, time_chunk*E, h) instead of (B, (T+1)*E, h) — the difference
+        between OOM and fitting HBM for long-horizon evaluation sweeps."""
         T1 = self.integration_steps + 1
         E = self.elements
         grid = build_pinn_grid(E, self.grid_size, self.integration_steps, self.dt)
-        pts = grid.reshape(1, T1 * E, 2)
         B = l.shape[0]
-        inp = jnp.concatenate(
-            [
-                jnp.broadcast_to(l[:, None, :], (B, T1 * E, l.shape[-1])),
-                jnp.broadcast_to(pts, (B, T1 * E, 2)),
-            ],
-            axis=-1,
-        )
-        out = self.field_net.apply(params["field_net"], inp)  # (B, T1*E, 4)
-        return jnp.moveaxis(out.reshape(B, T1, E, 4), 3, 2)  # (B, T1, 4, E)
+
+        def eval_points(pts):  # pts (P, 2) -> (B, P, 4)
+            P = pts.shape[0]
+            inp = jnp.concatenate(
+                [
+                    jnp.broadcast_to(l[:, None, :], (B, P, l.shape[-1])),
+                    jnp.broadcast_to(pts[None], (B, P, 2)),
+                ],
+                axis=-1,
+            )
+            return self.field_net.apply(params["field_net"], inp)
+
+        if time_chunk is None or time_chunk >= T1:
+            out = eval_points(grid.reshape(T1 * E, 2))  # (B, T1*E, 4)
+            return jnp.moveaxis(out.reshape(B, T1, E, 4), 3, 2)  # (B, T1, 4, E)
+
+        pad = (-T1) % time_chunk
+        gpad = jnp.pad(grid, ((0, pad), (0, 0), (0, 0)))
+        n_chunks = (T1 + pad) // time_chunk
+        chunks = gpad.reshape(n_chunks, time_chunk * E, 2)
+        out = jax.lax.map(eval_points, chunks)  # (n_chunks, B, chunk*E, 4)
+        out = jnp.moveaxis(out, 0, 1).reshape(B, T1 + pad, E, 4)[:, :T1]
+        return jnp.moveaxis(out, 3, 2)  # (B, T1, 4, E)
 
     def encode(self, params, batch):
         x = self.wave_encoder.apply(params["wave_encoder"], batch["s_wave"])  # (B,6,E)
@@ -212,6 +230,44 @@ class WaveControlPINN:
         s = jnp.transpose(sols, (1, 3, 4, 0, 2))  # (B, 4, E, H, T+1)
         joined = flatten_repeated_last_dim(s)  # (B, 4, E, L)
         return jnp.moveaxis(joined, -1, 1)  # (B, L, 4, E)
+
+    def predict_energy(self, params, batch, time_chunk: int | None = None) -> jax.Array:
+        """(B, L, 3) energies without materializing the full field solution.
+
+        Identical numerics to ``__call__`` but the autoregressive scan
+        reduces each action window to its (B, T+1, 3) energies immediately,
+        so the stacked scan output is L*3 floats per sample instead of
+        L*4*E — combined with ``time_chunk`` this is what lets the PINC
+        baseline run the reference's horizon-200-class sweeps
+        (`scripts/prediction.jl:60-91`) without OOM."""
+        z0, f, pml, C = self.encode(params, batch)
+        t = batch["t"]
+        knots = t[:, :: self.integration_steps]  # (B, H+1)
+        c = evaluate_over_time(C, knots)  # (B, H+1, E)
+
+        def window_energy(sol):  # (B, T+1, 4, E) -> (B, T+1, 3)
+            tot, inc = sol[:, :, 0], sol[:, :, 2]
+            sc = tot - inc
+            return jnp.stack(
+                [
+                    jnp.sum(tot**2, -1) * self.dx,
+                    jnp.sum(inc**2, -1) * self.dx,
+                    jnp.sum(sc**2, -1) * self.dx,
+                ],
+                axis=-1,
+            )
+
+        def body(x, ci_pair):
+            l = self.compress(params, x, f, pml, ci_pair)
+            sol = self.pinn_window(params, l, time_chunk)  # (B, T+1, 4, E)
+            return sol[:, -1], window_energy(sol)
+
+        c_pairs = jnp.stack([c[:, :-1], c[:, 1:]], axis=2)  # (B, H, 2, E)
+        _, ys = jax.lax.scan(body, z0, jnp.moveaxis(c_pairs, 1, 0))
+        # ys: (H, B, T+1, 3) -> (B, 3, H, T+1) -> join shared endpoints
+        y = jnp.transpose(ys, (1, 3, 0, 2))
+        joined = flatten_repeated_last_dim(y)  # (B, 3, L)
+        return jnp.moveaxis(joined, 1, 2)  # (B, L, 3)
 
     def __call__(self, params, batch) -> jax.Array:
         """(B, L, 3) energies (reference `src/model/pinn.jl:275-277`)."""

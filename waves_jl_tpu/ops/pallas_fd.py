@@ -32,23 +32,23 @@ GHOST = 8  # left ghost rows in x (>= 4 needed; 8 keeps DMA aligned)
 HALO = 4  # physical halo consumed by 4 RK4 stages
 
 
-def padded_dims(n: int, tile_interior: int):
+def padded_dims(n: int, tile_interior: int, ghost: int = GHOST):
     """(PX, n_tiles) for the x axis and PY for the y axis of an n x n grid."""
     n_tiles = math.ceil(n / tile_interior)
-    px = 2 * GHOST + n_tiles * tile_interior
+    px = 2 * ghost + n_tiles * tile_interior
     py = math.ceil(n / LANE) * LANE
     return px, py, n_tiles
 
 
-def pad_state(u: jax.Array, tile_interior: int = 48) -> jax.Array:
+def pad_state(u: jax.Array, tile_interior: int = 48, ghost: int = GHOST) -> jax.Array:
     """(12, n, n) -> (12, PX, PY) zero-padded."""
     n = u.shape[-2]
-    px, py, _ = padded_dims(n, tile_interior)
-    return jnp.pad(u, ((0, 0), (GHOST, px - GHOST - n), (0, py - n)))
+    px, py, _ = padded_dims(n, tile_interior, ghost)
+    return jnp.pad(u, ((0, 0), (ghost, px - ghost - n), (0, py - n)))
 
 
-def unpad_state(u_pad: jax.Array, n: int) -> jax.Array:
-    return u_pad[:, GHOST : GHOST + n, :n]
+def unpad_state(u_pad: jax.Array, n: int, ghost: int = GHOST) -> jax.Array:
+    return u_pad[:, ghost : ghost + n, :n]
 
 
 def _roll(u, shift, axis):
@@ -101,6 +101,7 @@ def make_fused_acoustic_step(
     radii_only: bool = False,
     x_matmul: bool = False,
     batch: int = 0,
+    ghost: int = GHOST,
 ):
     """Build the fused RK4 step.
 
@@ -147,12 +148,12 @@ def make_fused_acoustic_step(
     """
     if ny_local is None:
         ny_local = n
-    px, _, n_tiles = padded_dims(n, tile_interior)
+    px, _, n_tiles = padded_dims(n, tile_interior, ghost)
     py = math.ceil((ny_local + 2 * y_ghost) / LANE) * LANE
-    rows = tile_interior + 2 * GHOST  # DMA'd rows per tile
+    rows = tile_interior + 2 * ghost  # DMA'd rows per tile
     inv2d = 1.0 / (2.0 * spacing)
     fdt = float(dt)  # python float: jnp constants captured by kernels are rejected
-    assert 1 <= steps_per_call <= GHOST // HALO, steps_per_call
+    assert 1 <= steps_per_call <= ghost // HALO, steps_per_call
     assert y_ghost == 0 or y_ghost >= HALO * steps_per_call, (y_ghost, steps_per_call)
 
     def kernel(scalars, cyl_all, u_hbm, shape_ref, profx_ref, profy_ref,
@@ -189,7 +190,7 @@ def make_fused_acoustic_step(
 
         # global coordinates of this tile
         l_row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        gx_row = row0 + l_row - GHOST  # true grid row index (may be <0 / >=n)
+        gx_row = row0 + l_row - ghost  # true grid row index (may be <0 / >=n)
         l_col = jax.lax.broadcasted_iota(jnp.int32, (1, py), 1)
         if y_ghost == 0 and ny_local == n:
             gy_col = l_col  # single-device: static (Mosaic constant-folds)
@@ -214,7 +215,7 @@ def make_fused_acoustic_step(
         # conservative per-cylinder tile-intersection tests (scalar): the
         # cloak occupies a few tiles of the domain, so most tiles skip the
         # full-tile rasterization arithmetic entirely (VPU-bound kernel).
-        x_t0 = x_min + (row0 - GHOST) * spacing
+        x_t0 = x_min + (row0 - ghost) * spacing
         x_t1 = x_t0 + (rows - 1) * spacing
         intersects = []
         for j in range(n_cyl):
@@ -349,8 +350,8 @@ def make_fused_acoustic_step(
 
         owned = (
             valid
-            & (l_row >= GHOST)
-            & (l_row < GHOST + tile_interior)
+            & (l_row >= ghost)
+            & (l_row < ghost + tile_interior)
             & (l_col >= y_ghost)
             & (l_col < y_ghost + ny_local)
         )
@@ -391,9 +392,9 @@ def make_fused_acoustic_step(
         for ch in range(12):
             o_scr[ch] = u_new[ch]
         cp_out = pltpu.make_async_copy(
-            o_scr.at[:, pl.ds(GHOST, tile_interior), :],
-            out_hbm.at[b, :, pl.ds(row0 + GHOST, tile_interior), :] if batch
-            else out_hbm.at[:, pl.ds(row0 + GHOST, tile_interior), :],
+            o_scr.at[:, pl.ds(ghost, tile_interior), :],
+            out_hbm.at[b, :, pl.ds(row0 + ghost, tile_interior), :] if batch
+            else out_hbm.at[:, pl.ds(row0 + ghost, tile_interior), :],
             sem_out,
         )
         cp_out.start()
