@@ -43,19 +43,24 @@ def main():
     p.add_argument("--nfreq", type=int, default=500)
     p.add_argument("--elements", type=int, default=1024)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--latent-stride", type=int, default=1,
+                   help="latent-dt coarsening of the checkpoint (must match "
+                        "its training; the flagship h8s4 family is stride 4)")
     args = p.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
+    stride = args.latent_stride
     env = build_env(args.n, 100, args.actions)
     model = AcousticEnergyModel.create(
         design_space=w.build_triple_ring_design_space(), source_freq=1000.0,
         elements=args.elements, h_size=args.h_size, nfreq=args.nfreq,
-        integration_steps=100,
+        integration_steps=100 // stride, dt=1e-5 * stride,
     )
     from __graft_entry__ import _tiny_batch
 
     like = model.init(
-        jax.random.PRNGKey(0), _tiny_batch(model, B=1, horizon=1, steps=100, res=128)
+        jax.random.PRNGKey(0),
+        _tiny_batch(model, B=1, horizon=1, steps=100 // stride, res=128),
     )
     params, _, _ = load_checkpoint(args.checkpoint, like)
 
@@ -71,15 +76,19 @@ def main():
     ).T  # (L, 3)
     t = np.asarray(flatten_repeated_last_dim(ep.s_tspan))  # (L,)
 
-    # surrogate over the same initial state + full action sequence
+    # surrogate over the same initial state + full action sequence; a
+    # stride-s checkpoint integrates on the stride-subsampled time grid,
+    # so compare against the real signal at the same instants
+    t_lat = t[::stride]
+    y_cmp = y[::stride]
     batch = {
         "s_wave": ep.s_wave[:1],
         "s_design": jax.tree_util.tree_map(lambda x: x[:1], ep.s_design),
         "a": jax.tree_util.tree_map(lambda x: x[None], ep.a),
-        "t": jnp.asarray(t)[None],
+        "t": jnp.asarray(t_lat)[None],
     }
-    y_hat = np.asarray(model(params, batch))[0]  # (L, 3)
-    z = np.asarray(model.generate_latent_solution(params, batch))[:, 0]  # (L,4,E)
+    y_hat = np.asarray(model(params, batch))[0]  # (L/stride, 3)
+    z = np.asarray(model.generate_latent_solution(params, batch))[:, 0]
 
     # 1. real vs latent scattered energy
     import matplotlib
@@ -89,14 +98,14 @@ def main():
 
     fig, ax = plt.subplots()
     ax.plot(t, y[:, 2], color="blue", label="Real")
-    ax.plot(t, y_hat[:, 2], color="green", alpha=0.7, label="Latent (surrogate)")
+    ax.plot(t_lat, y_hat[:, 2], color="green", alpha=0.7, label="Latent (surrogate)")
     ax.set_title("Real vs Latent Scattered Energy over Time")
     ax.set_xlabel("Time (s)")
     ax.set_ylabel("Energy")
     ax.legend()
     fig.savefig(os.path.join(args.out, "real_vs_latent_sc.png"), dpi=120)
     plt.close(fig)
-    mse = float(np.mean((y - y_hat) ** 2))
+    mse = float(np.mean((y_cmp - y_hat) ** 2))
     print(f"real-vs-latent energy mse over {args.actions} actions: {mse:.5g}")
 
     # 2. latent scattered-field video

@@ -117,6 +117,12 @@ def main():
                         "at --rerank-n 350, anything at 175)")
     p.add_argument("--cem-iters", type=int, default=3)
     p.add_argument("--cem-elites", type=int, default=32)
+    p.add_argument("--cem-polish", type=int, default=0,
+                   help="CEM-then-gradient polish: projected descent steps "
+                        "applied to the top-k elites through the "
+                        "differentiable surrogate rollout (remat)")
+    p.add_argument("--cem-polish-topk", type=int, default=8)
+    p.add_argument("--cem-polish-lr", type=float, default=0.02)
     p.add_argument("--cem-warm", action="store_true",
                    help="receding-horizon warm start: the previous "
                         "selection's shifted plan seeds each round-0 pool")
@@ -175,7 +181,10 @@ def main():
     elif args.controller == "cem":
         mpc = CEMShooting(model=model, horizon=args.horizon, shots=args.shots,
                           alpha=args.alpha, iters=args.cem_iters,
-                          elites=args.cem_elites, warm=args.cem_warm)
+                          elites=args.cem_elites, warm=args.cem_warm,
+                          polish_steps=args.cem_polish,
+                          polish_topk=args.cem_polish_topk,
+                          polish_lr=args.cem_polish_lr)
     elif args.controller == "ensemble":
         from waves_jl_tpu.control import EnsembleShooting
 
@@ -323,6 +332,9 @@ def main():
         "rerank_n": args.rerank_n if args.controller == "hybrid" else None,
         "hybrid_cem": args.hybrid_cem if args.controller == "hybrid" else None,
         "cem_warm": args.cem_warm if args.controller == "cem" else None,
+        "cem_polish": (args.cem_polish
+                       if args.controller == "cem" and args.cem_polish
+                       else None),
         "exact_rounds": (args.exact_rounds
                          if args.controller == "hybrid" else None),
         "actions": args.actions,

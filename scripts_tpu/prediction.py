@@ -47,11 +47,29 @@ def sweep(model, params, eps, horizons, batch: int, batches: int, scalar_out: bo
     return errors
 
 
-def rolling_mean(x, k=3):
+def loess(x, y, frac: float = 0.6, degree: int = 1):
+    """Locally weighted least-squares smoother (tricube weights) — the same
+    smoother the reference's error-comparison plot uses
+    (`scripts/error_plot.jl:13-51`, Loess.jl defaults: span 0.75-ish,
+    degree 2 on dense grids; degree 1 is standard for the short horizon
+    grids here). Returns the smooth evaluated at each x."""
     x = np.asarray(x, dtype=np.float64)
-    if len(x) < k:
-        return x
-    return np.convolve(x, np.ones(k) / k, mode="same")
+    y = np.asarray(y, dtype=np.float64)
+    n = len(x)
+    if n < degree + 2:
+        return y
+    k = max(degree + 2, int(np.ceil(frac * n)))
+    out = np.empty(n)
+    for i, xi in enumerate(x):
+        d = np.abs(x - xi)
+        idx = np.argsort(d)[:k]
+        dmax = d[idx].max()
+        w = (1 - (d[idx] / max(dmax, 1e-12)) ** 3) ** 3
+        A = np.vander(x[idx] - xi, degree + 1, increasing=True)
+        W = w[:, None]
+        coef, *_ = np.linalg.lstsq(A * W, y[idx] * w, rcond=None)
+        out[i] = coef[0]
+    return out
 
 
 def main():
@@ -148,7 +166,7 @@ def main():
     for name, errs in results.items():
         hs = sorted(errs)
         means = [float(np.mean(errs[h])) for h in hs]
-        ax.plot(hs, rolling_mean(means), color=colors[name], label=labels[name])
+        ax.plot(hs, loess(hs, means), color=colors[name], label=labels[name])
         ax.scatter(hs, means, color=colors[name], s=12)
     ax.set_xlabel("Prediction horizon (actions)")
     ax.set_ylabel("Scattered-energy MSE")

@@ -263,6 +263,29 @@ def test_cem_monotone_and_bounded(setup):
     assert float(info_c["cost"][info_c["idx"]]) == float(info_c["cost"].min())
 
 
+def test_cem_gradient_polish_monotone(setup):
+    """CEM-then-gradient polish: the polished candidates only EXTEND the
+    pool, so the selected surrogate cost can never exceed the unpolished
+    selection from the same key; polished actions respect the box."""
+    env, eps, model, params = setup
+    state = env_reset(env, jax.random.PRNGKey(7))
+    key = jax.random.PRNGKey(8)
+    base = CEMShooting(model=model, horizon=2, shots=8, alpha=1.0, iters=1,
+                       elites=2)
+    pol = CEMShooting(model=model, horizon=2, shots=8, alpha=1.0, iters=1,
+                      elites=2, polish_steps=3, polish_topk=2, polish_lr=0.02)
+    _, info_b = jax.jit(lambda p, s, k: base(p, env, s, k))(params, state, key)
+    a, info_p = jax.jit(lambda p, s, k: pol(p, env, s, k))(params, state, key)
+    assert np.isfinite(np.asarray(info_p["cost"])).all()
+    assert info_p["cost"].shape[0] == 8 + 2  # population + polished tail
+    best_b = float(np.asarray(info_b["cost"]).min())
+    best_p = float(np.asarray(info_p["cost"]).min())
+    assert best_p <= best_b + 1e-5, (best_p, best_b)
+    r = np.asarray(a.config.cylinders.r)
+    scale = float(env.action_space.high.config.cylinders.r[0])
+    assert (np.abs(r) <= scale + 1e-5).all()
+
+
 def test_cem_improves_on_random_round0(setup):
     """With the same key, CEM round 0 IS the random-shooting population, so
     its final (elite-carried) best cost must be <= that population's best."""

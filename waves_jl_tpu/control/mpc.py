@@ -174,11 +174,59 @@ class CEMShooting:
     elites: int = 32
     noise_floor: float = 0.0  # optional stddev floor to keep exploring
     warm: bool = False  # receding-horizon warm start (episode-fused path)
+    polish_steps: int = 0  # gradient-polish the top-k elites post-search
+    polish_topk: int = 8
+    polish_lr: float = 0.02
 
     def __call__(self, params, env: WaveEnv, state: EnvState, key: jax.Array,
                  incumbent=None):
         actions, cost = self.population(params, env, state, key,
                                         incumbent=incumbent)
+        if self.polish_steps > 0:
+            # CEM-then-gradient polish: projected descent through the
+            # differentiable surrogate rollout on the top-k sequences —
+            # the lever the sampling-only reference cannot express
+            # (`scripts/mpc.jl:19-53`); candidate set only grows, so the
+            # selected surrogate cost is monotone in polish_steps.
+            obs = env_observe(env, state)
+            t = selection_tspan(self.model, env, state, self.horizon,
+                                self.polish_topk)
+            x = (
+                self.model.encode_wave(params, obs.wave)
+                if hasattr(self.model, "encode_wave") else None
+            )
+            _, top_idx = jax.lax.top_k(-cost, self.polish_topk)
+            elite = jax.tree_util.tree_map(lambda v: v[top_idx], actions)
+            bcast = lambda v: jnp.broadcast_to(
+                v, (self.polish_topk, self.horizon, *v.shape))
+            low = jax.tree_util.tree_map(bcast, env.action_space.low)
+            high = jax.tree_util.tree_map(bcast, env.action_space.high)
+
+            def cost_fn(acts):
+                if hasattr(self.model, "predict_shot_energy"):
+                    energy = self.model.predict_shot_energy(
+                        params, obs.wave, state.design, acts, t, x=x,
+                        remat=True,
+                    )
+                else:
+                    batch = _mpc_batch(env, state, acts, self.horizon,
+                                       self.polish_topk, model=self.model)
+                    energy = jnp.sum(self.model(params, batch)[:, :, 2], axis=1)
+                c = energy + self.alpha * compute_action_cost(acts)
+                return jnp.sum(c), c
+
+            def opt_step(acts, _):
+                (_, c), g = jax.value_and_grad(cost_fn, has_aux=True)(acts)
+                acts = jax.tree_util.tree_map(
+                    lambda a, gg: a - self.polish_lr * gg, acts, g)
+                return tree_clamp(acts, low, high), c
+
+            polished, _ = jax.lax.scan(
+                opt_step, elite, None, length=self.polish_steps)
+            _, cost_p = cost_fn(polished)
+            actions = jax.tree_util.tree_map(
+                lambda a, p: jnp.concatenate([a, p], axis=0), actions, polished)
+            cost = jnp.concatenate([cost, cost_p], axis=0)
         idx = jnp.argmin(cost)
         first = jax.tree_util.tree_map(lambda v: v[idx, 0], actions)
         seq = jax.tree_util.tree_map(lambda v: v[idx], actions)
