@@ -1,11 +1,11 @@
-"""Controller quality/latency frontier figure (docs/controller_frontier_r3.png).
+"""Controller quality/latency frontier figure (docs/controller_frontier_r4.png).
 
 Reads the committed protocol artifacts (mpc_results_*.json, 20-action
 reference protocol: 5 source locations x 4 episodes, horizon 5, 256 shots,
 alpha=1 — reference scripts/test.jl + scripts/mpc.jl) and plots scattered-
 energy decrease vs warm episode latency per controller family. Reproduce:
 
-    python scripts_tpu/plot_frontier.py [--out docs/controller_frontier_r3.png]
+    python scripts_tpu/plot_frontier.py [--out docs/controller_frontier_r4.png]
 
 Points whose JSON is absent (wiped scratch run not re-measured) are skipped,
 so the figure always reflects committed artifacts only.
@@ -39,8 +39,14 @@ POINTS = [
     ("mpc_results_h8s4_hor8.json", "surrogate", None),
     ("mpc_results_rank400.json", "surrogate", None),
     ("mpc_results_pools_shoot.json", "distilled", "shooting"),
-    ("mpc_results_pools_cem.json", "distilled", "CEM (record)"),
+    ("mpc_results_pools_cem.json", "distilled", "CEM"),
     ("mpc_results_pools_hybrid32.json", "hybrid", "distilled topk=32"),
+    ("mpc_results_pools2_cem.json", "distilled", "CEM pools2"),
+    ("mpc_results_pools2_grad.json", "gradient", "pure gradient"),
+    ("mpc_results_pools2_cem_polish.json", "gradient", "CEM+polish 5"),
+    ("mpc_results_pools2_cem_polish10.json", "gradient",
+     "CEM+polish 10 (record)", (-90, 6)),
+    ("mpc_results_pools2_cem_polish20.json", "gradient", "CEM+polish 20"),
 ]
 
 FAMILIES = {  # palette slots 1-3 (validated all-pairs subset)
@@ -48,13 +54,14 @@ FAMILIES = {  # palette slots 1-3 (validated all-pairs subset)
     "oracle": ("#eb6834", "True-simulator oracle", "s"),
     "surrogate": ("#1baf7a", "Pure surrogate", "^"),
     "distilled": ("#8a63d2", "Ranking-distilled surrogate", "D"),
+    "gradient": ("#c2417e", "Gradient-polished (differentiable rollout)", "v"),
 }
 SURFACE, INK, INK2 = "#fcfcfb", "#0b0b0b", "#52514e"
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--out", default="docs/controller_frontier_r3.png")
+    p.add_argument("--out", default="docs/controller_frontier_r4.png")
     args = p.parse_args()
 
     fig, ax = plt.subplots(figsize=(8.4, 5.2), dpi=150)
