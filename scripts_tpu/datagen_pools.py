@@ -100,6 +100,11 @@ def main():
     p.add_argument("--searcher-samples", type=int, default=8)
     p.add_argument("--cem-iters", type=int, default=3)
     p.add_argument("--cem-elites", type=int, default=32)
+    p.add_argument("--polish", type=int, default=0,
+                   help="gradient-polish steps for the DAgger searcher — "
+                        "harvest under the deployed CEM+polish controller")
+    p.add_argument("--polish-topk", type=int, default=16)
+    p.add_argument("--polish-lr", type=float, default=0.02)
     p.add_argument("--shots", type=int, default=256)
     p.add_argument("--latent-stride", type=int, default=4)
     p.add_argument("--seed", type=int, default=1000)
@@ -119,7 +124,10 @@ def main():
                    "checkpoint": args.checkpoint,
                    "searcher_samples":
                        args.searcher_samples if args.checkpoint else 0,
-                   "shots": args.shots if args.checkpoint else None}, f)
+                   "shots": args.shots if args.checkpoint else None,
+                   "polish": args.polish if args.checkpoint else 0,
+                   "polish_topk": args.polish_topk,
+                   "polish_lr": args.polish_lr}, f)
 
     searcher, params = None, None
     if args.checkpoint:
@@ -145,6 +153,8 @@ def main():
         searcher = CEMShooting(
             model=model, horizon=args.horizon, shots=args.shots,
             alpha=args.alpha, iters=args.cem_iters, elites=args.cem_elites,
+            polish_steps=args.polish, polish_topk=args.polish_topk,
+            polish_lr=args.polish_lr,
         )
 
     probe, step = make_pool_probe_fused(

@@ -725,6 +725,58 @@ def test_pool_probe_dagger_searcher(setup):
     assert int(s2.time_step) == STEPS
 
 
+def test_pool_probe_dagger_polished_searcher(setup):
+    """DAgger probe under the deployed CEM+polish controller: the searcher's
+    gradient-polished elites extend its proposal set (CEMShooting.polish:
+    cost-monotone — min over the extended set never regresses), the probe
+    harvests from that extended set, and the advance action is still
+    candidate 0's first window (the polished controller's plan)."""
+    from waves_jl_tpu.control import CEMShooting, make_pool_probe_fused
+
+    env, eps, model, params = setup
+    grid = w.build_grid(env.dim)
+    src = w.GaussianSource.create(
+        grid, jnp.array([[0.0, 0.0]]), jnp.array([[0.0, 0.0]]),
+        jnp.array([0.3]), jnp.array([1.0]), 1000.0,
+    )
+    env = dataclasses.replace(env, source=src)
+    state = env_reset(env, jax.random.PRNGKey(41))
+
+    base = CEMShooting(model=model, horizon=2, shots=6, alpha=1.0,
+                       iters=1, elites=3)
+    pop, cost = base.population(params, env, state, jax.random.PRNGKey(7))
+    polished = dataclasses.replace(base, polish_steps=2, polish_topk=2,
+                                   polish_lr=0.05)
+    pop2, cost2 = polished.polish(params, env, state, pop, cost)
+    # extension, not replacement: original candidates + polish_topk more
+    assert cost2.shape == (6 + 2,)
+    np.testing.assert_allclose(np.asarray(cost2[:6]), np.asarray(cost))
+    assert float(cost2.min()) <= float(cost.min()) + 1e-6
+    for leaf, lo, hi in zip(
+        jax.tree_util.tree_leaves(pop2),
+        jax.tree_util.tree_leaves(env.action_space.low),
+        jax.tree_util.tree_leaves(env.action_space.high),
+    ):
+        assert np.all(np.asarray(leaf) >= np.asarray(lo) - 1e-6)
+        assert np.all(np.asarray(leaf) <= np.asarray(hi) + 1e-6)
+
+    K, S = 5, 3
+    probe, step = make_pool_probe_fused(
+        env, K=K, horizon=2, alpha=1.0,
+        searcher=polished, searcher_samples=S, interpret=True,
+    )
+    pool, a = probe(params, state, jax.random.PRNGKey(42))
+    assert pool["y_true"].shape == (K,)
+    assert np.all(np.isfinite(np.asarray(pool["y_true"])))
+    for x, y in zip(
+        jax.tree_util.tree_leaves(a),
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda v: v[0, 0], pool["a"])
+        ),
+    ):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
 def test_mpc_episode_recorded(setup):
     """On-policy recorded episodes have the standard Episode layout, are
     windowable by prepare_data, and the epsilon action mixing actually

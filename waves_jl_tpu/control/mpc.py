@@ -183,50 +183,7 @@ class CEMShooting:
         actions, cost = self.population(params, env, state, key,
                                         incumbent=incumbent)
         if self.polish_steps > 0:
-            # CEM-then-gradient polish: projected descent through the
-            # differentiable surrogate rollout on the top-k sequences —
-            # the lever the sampling-only reference cannot express
-            # (`scripts/mpc.jl:19-53`); candidate set only grows, so the
-            # selected surrogate cost is monotone in polish_steps.
-            obs = env_observe(env, state)
-            t = selection_tspan(self.model, env, state, self.horizon,
-                                self.polish_topk)
-            x = (
-                self.model.encode_wave(params, obs.wave)
-                if hasattr(self.model, "encode_wave") else None
-            )
-            _, top_idx = jax.lax.top_k(-cost, self.polish_topk)
-            elite = jax.tree_util.tree_map(lambda v: v[top_idx], actions)
-            bcast = lambda v: jnp.broadcast_to(
-                v, (self.polish_topk, self.horizon, *v.shape))
-            low = jax.tree_util.tree_map(bcast, env.action_space.low)
-            high = jax.tree_util.tree_map(bcast, env.action_space.high)
-
-            def cost_fn(acts):
-                if hasattr(self.model, "predict_shot_energy"):
-                    energy = self.model.predict_shot_energy(
-                        params, obs.wave, state.design, acts, t, x=x,
-                        remat=True,
-                    )
-                else:
-                    batch = _mpc_batch(env, state, acts, self.horizon,
-                                       self.polish_topk, model=self.model)
-                    energy = jnp.sum(self.model(params, batch)[:, :, 2], axis=1)
-                c = energy + self.alpha * compute_action_cost(acts)
-                return jnp.sum(c), c
-
-            def opt_step(acts, _):
-                (_, c), g = jax.value_and_grad(cost_fn, has_aux=True)(acts)
-                acts = jax.tree_util.tree_map(
-                    lambda a, gg: a - self.polish_lr * gg, acts, g)
-                return tree_clamp(acts, low, high), c
-
-            polished, _ = jax.lax.scan(
-                opt_step, elite, None, length=self.polish_steps)
-            _, cost_p = cost_fn(polished)
-            actions = jax.tree_util.tree_map(
-                lambda a, p: jnp.concatenate([a, p], axis=0), actions, polished)
-            cost = jnp.concatenate([cost, cost_p], axis=0)
+            actions, cost = self.polish(params, env, state, actions, cost)
         idx = jnp.argmin(cost)
         first = jax.tree_util.tree_map(lambda v: v[idx, 0], actions)
         seq = jax.tree_util.tree_map(lambda v: v[idx], actions)
@@ -299,6 +256,55 @@ class CEMShooting:
             cost = eval_cost(actions)
 
         return actions, cost
+
+    def polish(self, params, env: WaveEnv, state: EnvState, actions, cost):
+        """CEM-then-gradient polish: projected descent through the
+        differentiable surrogate rollout on the top-`polish_topk` sequences —
+        the lever the sampling-only reference cannot express
+        (`scripts/mpc.jl:19-53`). The polished sequences EXTEND the candidate
+        set (never replace it), so the selected surrogate cost is monotone in
+        `polish_steps`. Exposed separately from `__call__` so the DAgger pool
+        probe (`make_pool_probe_fused(searcher=...)`) can harvest under the
+        exact deployed CEM+polish controller distribution."""
+        obs = env_observe(env, state)
+        t = selection_tspan(self.model, env, state, self.horizon,
+                            self.polish_topk)
+        x = (
+            self.model.encode_wave(params, obs.wave)
+            if hasattr(self.model, "encode_wave") else None
+        )
+        _, top_idx = jax.lax.top_k(-cost, self.polish_topk)
+        elite = jax.tree_util.tree_map(lambda v: v[top_idx], actions)
+        bcast = lambda v: jnp.broadcast_to(
+            v, (self.polish_topk, self.horizon, *v.shape))
+        low = jax.tree_util.tree_map(bcast, env.action_space.low)
+        high = jax.tree_util.tree_map(bcast, env.action_space.high)
+
+        def cost_fn(acts):
+            if hasattr(self.model, "predict_shot_energy"):
+                energy = self.model.predict_shot_energy(
+                    params, obs.wave, state.design, acts, t, x=x,
+                    remat=True,
+                )
+            else:
+                batch = _mpc_batch(env, state, acts, self.horizon,
+                                   self.polish_topk, model=self.model)
+                energy = jnp.sum(self.model(params, batch)[:, :, 2], axis=1)
+            c = energy + self.alpha * compute_action_cost(acts)
+            return jnp.sum(c), c
+
+        def opt_step(acts, _):
+            (_, c), g = jax.value_and_grad(cost_fn, has_aux=True)(acts)
+            acts = jax.tree_util.tree_map(
+                lambda a, gg: a - self.polish_lr * gg, acts, g)
+            return tree_clamp(acts, low, high), c
+
+        polished, _ = jax.lax.scan(
+            opt_step, elite, None, length=self.polish_steps)
+        _, cost_p = cost_fn(polished)
+        actions = jax.tree_util.tree_map(
+            lambda a, p: jnp.concatenate([a, p], axis=0), actions, polished)
+        return actions, jnp.concatenate([cost, cost_p], axis=0)
 
 
 def make_mpc_episode_fused(env: WaveEnv, mpc: "RandomShooting",
@@ -758,7 +764,10 @@ def make_pool_probe_fused(env: WaveEnv, K: int = 16, horizon: int = 5,
     deployed controller must discriminate among), the rest stay uniform
     for coverage, and the returned advance action is the SEARCHER'S choice
     (surrogate argmin), so episodes visit the deployed controller's state
-    distribution rather than the exact-oracle's. The probe then takes
+    distribution rather than the exact-oracle's. If the searcher carries
+    `polish_steps > 0`, its gradient-polished elites extend the proposal
+    set before selection (`CEMShooting.polish`), so the harvest matches the
+    deployed CEM+polish record controller exactly. The probe then takes
     (params, state, key).
     """
     from ..physics.fused import make_env_step_fused
@@ -784,6 +793,12 @@ def make_pool_probe_fused(env: WaveEnv, K: int = 16, horizon: int = 5,
         else:
             k_cem, k_unif, k_ref = jax.random.split(k, 3)
             pop, cost_s = searcher.population(params, env, st, k_cem)
+            if searcher.polish_steps > 0:
+                # harvest under the DEPLOYED CEM+polish controller: the
+                # gradient-polished elites join the proposal pool and the
+                # advance action is the polished argmin, so recorded states
+                # and candidates match the record controller's distribution
+                pop, cost_s = searcher.polish(params, env, st, pop, cost_s)
             idx_s = jnp.argmin(cost_s)
             a_ctrl = jax.tree_util.tree_map(lambda v: v[idx_s, 0], pop)
             _, top_idx = jax.lax.top_k(-cost_s, searcher_samples)
