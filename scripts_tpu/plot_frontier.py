@@ -45,8 +45,12 @@ POINTS = [
     ("mpc_results_pools2_grad.json", "gradient", "pure gradient"),
     ("mpc_results_pools2_cem_polish.json", "gradient", "CEM+polish 5"),
     ("mpc_results_pools2_cem_polish10.json", "gradient",
-     "CEM+polish 10 (record)", (-90, 6)),
+     "CEM+polish 10", (-78, 6)),
     ("mpc_results_pools2_cem_polish20.json", "gradient", "CEM+polish 20"),
+    ("mpc_results_pools3_cem.json", "distilled", "CEM pools3 (DAgger)",
+     (-55, -14)),
+    ("mpc_results_pools3_cem_polish10.json", "gradient",
+     "pools3 CEM+polish 10 (record)", (-118, 7)),
 ]
 
 FAMILIES = {  # palette slots 1-3 (validated all-pairs subset)
