@@ -166,7 +166,16 @@ def main():
     for name, errs in results.items():
         hs = sorted(errs)
         means = [float(np.mean(errs[h])) for h in hs]
-        ax.plot(hs, loess(hs, means), color=colors[name], label=labels[name])
+        smooth = loess(hs, means)
+        # +-1.92 std/sqrt(n) band around the loess line, as the reference
+        # plot draws (`scripts/error_plot.jl:17-19`)
+        half = np.array([
+            1.92 * float(np.std(errs[h])) / np.sqrt(max(len(errs[h]), 1))
+            for h in hs
+        ])
+        ax.plot(hs, smooth, color=colors[name], label=labels[name])
+        ax.fill_between(hs, smooth - half, smooth + half,
+                        color=colors[name], alpha=0.1)
         ax.scatter(hs, means, color=colors[name], s=12)
     ax.set_xlabel("Prediction horizon (actions)")
     ax.set_ylabel("Scattered-energy MSE")
