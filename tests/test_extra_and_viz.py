@@ -178,3 +178,24 @@ def test_scripts_importable():
     sig = np.zeros((2, 11, 3), np.float32)
     sig[:, :, 2] = 1.0
     assert mpc_script.scattered_tail_mean(sig) == 1.0
+
+
+def test_loess_smoother():
+    """The error-plot loess smoother (reference `scripts/error_plot.jl:13-19`)
+    reproduces a linear trend exactly and damps single-point noise."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts_tpu"))
+    from prediction import loess
+
+    x = np.arange(10, dtype=np.float64)
+    y = 2.0 * x + 1.0
+    # degree-1 local fits are exact on a line
+    np.testing.assert_allclose(loess(x, y), y, atol=1e-8)
+
+    noisy = y.copy()
+    noisy[5] += 10.0
+    smooth = loess(x, noisy)
+    # the spike is damped below its raw excursion and neighbors stay close
+    assert abs(smooth[5] - y[5]) < 9.0
+    assert np.all(np.isfinite(smooth))
+    # short inputs pass through unchanged
+    np.testing.assert_allclose(loess(x[:2], y[:2]), y[:2])
