@@ -82,3 +82,33 @@ def test_tree_helpers():
     c = tree_concat([a, b])
     assert c["x"].shape == (4,)
     np.testing.assert_allclose(np.asarray(tree_index(s, 1)["x"]), [3.0, 4.0])
+
+
+def test_avg_checkpoints(tmp_path):
+    """scripts_tpu/avg_checkpoints.py: running mean over the checkpoint
+    tail equals the arithmetic mean, dtype/meta round-trip intact."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts_tpu"))
+    import avg_checkpoints as ac
+
+    run = tmp_path / "run"
+    vals = {18: 1.0, 36: 2.0, 54: 7.0}
+    for step, v in vals.items():
+        d = run / f"checkpoint_step={step}"
+        d.mkdir(parents=True)
+        np.savez(d / "params.npz",
+                 w=np.full((3, 2), v, np.float32),
+                 b=np.array([v], np.float32))
+        (d / "meta.json").write_text(json.dumps({"step": step}))
+
+    assert ac.checkpoint_steps(str(run)) == [18, 36, 54]
+    out = tmp_path / "avg"
+    ac.save_average(str(run), [36, 54], str(out))
+    z = np.load(out / "params.npz")
+    assert z["w"].dtype == np.float32
+    np.testing.assert_allclose(z["w"], 4.5)
+    np.testing.assert_allclose(z["b"], [4.5])
+    meta = json.loads((out / "meta.json").read_text())
+    assert meta["step"] == 54 and meta["averaged_steps"] == [36, 54]
