@@ -34,7 +34,9 @@ from datagen import build_env
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--data", required=True)
+    p.add_argument("--data", default=None,
+                   help="unused (the dashboard rolls its own episode); "
+                        "kept for CLI compatibility")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--actions", type=int, default=20)
     p.add_argument("--out", default="dashboard")
