@@ -4,8 +4,11 @@ and produce: real-vs-latent scattered-energy comparison, the real field
 video, and the latent scattered-field video.
 
 Usage:
-  python scripts_tpu/latent_space.py --data data/run1 --checkpoint models/.../checkpoint_step=N \
+  python scripts_tpu/latent_space.py --checkpoint models/.../checkpoint_step=N \
       [--actions 20 --out dashboard/ --n 700 --h-size 256 --nfreq 500 --elements 1024]
+
+(the dashboard rolls its own episode; --data is accepted but unused, kept
+only for CLI compatibility with the other workflow scripts)
 """
 from __future__ import annotations
 
