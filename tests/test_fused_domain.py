@@ -100,3 +100,60 @@ def test_fused_sharded_with_kernel_optimizations():
     u_ref = np.asarray(s_ref.wave[-1])
     wscale = max(np.abs(u_ref).max(), 1e-30)
     assert np.abs(np.asarray(u_final) - u_ref).max() < 5e-5 * wscale
+
+
+def test_sharded_work_inflation_bounded():
+    """Scaling shape guard (docs/scaling.md): on the single-core virtual
+    mesh, wall time ~ TOTAL work, so t(8 dev)/t(1 dev) at a fixed global
+    grid bounds what y-sharding adds (ppermute halos, edge masking, psum).
+    Timed on the compiled XLA rollout — interpret-mode Pallas timing only
+    measures Mosaic's Python interpreter, not the halo path (the fused
+    kernel's halo volume is identical; its correctness is asserted by the
+    parity tests above). Loose bound: sharding must not blow up total work.
+    """
+    import time
+
+    from waves_jl_tpu.parallel import make_sharded_rollout
+
+    n, steps = 96, 16
+    dim = w.two_dim(15.0, n)
+    grid = w.build_grid(dim)
+    source = w.GaussianSource.create(
+        grid, jnp.array([[-10.0, -10.0]]), jnp.array([[-10.0, 10.0]]),
+        jnp.array([0.3]), jnp.array([1.0]), 1000.0,
+    )
+    env = make_wave_env(
+        dim, w.build_triple_ring_design_space(), source,
+        resolution=(16, 16), integration_steps=steps, actions=1,
+    )
+    state = env_reset(env, jax.random.PRNGKey(0))
+    action = RandomDesignPolicy(env.action_space)(jax.random.PRNGKey(1))
+    next_design = env.design_space(state.design, action)
+    tspan = w.build_tspan(0.0, env.dt, steps)
+    dyn = env.integrator.dynamics
+    interp = w.DesignInterpolator(state.design, next_design, tspan[0], tspan[-1])
+    sy = jnp.asarray(np.asarray(dyn.pml).T)
+    d_omega = jnp.float32(float(w.get_dx(dim)) ** 2)
+    args = (state.wave[-1], tspan, interp, grid, state.source.shape,
+            jnp.float32(1000.0), dyn.pml, sy, dyn.bc, d_omega)
+
+    times = {}
+    for d in (1, 8):
+        mesh = make_mesh(d, axis_name="space")
+        rollout = make_sharded_rollout(
+            mesh, float(env.c0), dyn.dx, dyn.dy, steps, env.dt,
+            axis_name="space",
+        )
+        _, sig = rollout(*args)  # warmup/compile
+        jax.block_until_ready(sig)
+        assert bool(jnp.isfinite(sig).all())
+        t0 = time.time()
+        for _ in range(3):
+            _, sig = rollout(*args)
+            jax.block_until_ready(sig)
+        times[d] = time.time() - t0
+
+    inflation = times[8] / times[1]
+    # measured ~0.8x at 256^2 (docs/scaling.json); 4x is a generous CI
+    # ceiling that still catches a halo-path work explosion
+    assert inflation < 4.0, f"8-dev total-work inflation {inflation:.2f}x"
