@@ -29,9 +29,19 @@ from waves_jl_tpu.train import load_checkpoint
 
 
 def sweep(model, params, eps, horizons, batch: int, batches: int, scalar_out: bool,
-          stride: int = 1, fwd_fn=None):
-    errors = {}
+          stride: int = 1, fwd_fn=None, done: dict | None = None,
+          on_horizon=None):
+    """Per-horizon MSE sample lists. `done` (horizon -> errs) pre-seeds
+    results and skips those horizons; `on_horizon(errors_so_far)` fires
+    after each fresh horizon — the caller persists partial results so a
+    killed run (the axon tunnel can wedge mid-dispatch) resumes where it
+    left."""
+    errors = dict(done or {})
     for h in horizons:
+        if h in errors:
+            print(f"horizon {h}: mse {np.mean(errors[h]):.5g} (resumed)",
+                  flush=True)
+            continue
         data = concat_datasets([prepare_data(ep, h, stride) for ep in eps])
         fwd = jax.jit(fwd_fn or (lambda p, b: model(p, b)))
         errs = []
@@ -44,6 +54,8 @@ def sweep(model, params, eps, horizons, batch: int, batches: int, scalar_out: bo
                 break
         errors[h] = errs
         print(f"horizon {h}: mse {np.mean(errs):.5g}", flush=True)
+        if on_horizon is not None:
+            on_horizon(dict(errors))
     return errors
 
 
@@ -85,6 +97,10 @@ def main():
     p.add_argument("--out", default="error_plot.png")
     p.add_argument("--json-out", default="prediction_errors.json")
     p.add_argument("--force", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="seed from an existing --json-out and skip its "
+                        "(model, horizon) entries; partial results are "
+                        "flushed to --json-out after every horizon")
     p.add_argument("--h-size", type=int, default=256)
     p.add_argument("--nfreq", type=int, default=500)
     p.add_argument("--elements", type=int, default=1024)
@@ -97,9 +113,17 @@ def main():
                         "path)")
     args = p.parse_args()
 
-    if os.path.exists(args.json_out) and not args.force:
-        sys.exit(f"refusing to overwrite {args.json_out} (pass --force or "
-                 "--json-out)")
+    if os.path.exists(args.json_out) and not (args.force or args.resume):
+        sys.exit(f"refusing to overwrite {args.json_out} (pass --force, "
+                 "--resume or --json-out)")
+
+    prior = {}
+    if args.resume and os.path.exists(args.json_out):
+        with open(args.json_out) as f:
+            prior = {k: {int(h): v for h, v in r.items()}
+                     for k, r in json.load(f).items()}
+        print(f"resuming from {args.json_out}: "
+              f"{ {k: len(v) for k, v in prior.items()} }", flush=True)
 
     import glob
 
@@ -148,8 +172,16 @@ def main():
         if name == "pinn" and args.pinn_chunk:
             chunk = args.pinn_chunk
             fwd_fn = lambda p, b: model.predict_energy(p, b, time_chunk=chunk)
+        def flush_partial(errors_so_far, _name=name):
+            snap = dict(results)
+            snap[_name] = errors_so_far
+            with open(args.json_out, "w") as f:
+                json.dump({k: {str(hh): v for hh, v in r.items()}
+                           for k, r in snap.items()}, f)
+
         results[name] = sweep(model, params, eps, args.horizons, args.batch,
-                              args.batches, scalar_out, mstride, fwd_fn=fwd_fn)
+                              args.batches, scalar_out, mstride, fwd_fn=fwd_fn,
+                              done=prior.get(name), on_horizon=flush_partial)
 
     with open(args.json_out, "w") as f:
         json.dump({k: {str(h): v for h, v in r.items()} for k, r in results.items()}, f)
