@@ -95,7 +95,8 @@ def build_model(name: str, steps: int, args):
             return model, lambda p, b: energy_loss_ranking(
                 model, p, b, beta=args.ranking_beta
             )
-        return model, lambda p, b: energy_loss(model, p, b)
+        sc_w = getattr(args, "sc_weight", 1.0)
+        return model, lambda p, b: energy_loss(model, p, b, sc_weight=sc_w)
     if name == "node":
         model = NODEEnergyModel.create(design_space=space, **kw)
         return model, lambda p, b: node_loss(model, p, b)
@@ -142,6 +143,10 @@ def main():
                    help="'ranking' adds a cumulative-scattered-energy term "
                         "(the MPC shot-selection cost) — acoustic only")
     p.add_argument("--ranking-beta", type=float, default=1.0)
+    p.add_argument("--sc-weight", type=float, default=1.0,
+                   help="scattered-channel weight in the mse loss "
+                        "(mean-normalized; 1.0 = reference equal-weight). "
+                        "acoustic only")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp", action="store_true",
                    help="data-parallel over all devices via shard_map")

@@ -176,3 +176,22 @@ def test_fast_ranking_mode_preserves_ordering():
     costbf = ybf[:, :, 2].sum(axis=1)
     np.testing.assert_allclose(costbf, cost32, rtol=0.05, atol=1e-4)
     assert int(np.argmin(costbf)) == int(np.argmin(cost32))
+
+
+def test_energy_loss_sc_weight(env_and_data, model):
+    """sc_weight=1 is exactly the reference equal-weight loss; weighted
+    form equals the hand-computed normalized channel-weighted MSE."""
+    env, data = env_and_data
+    params = model.init(jax.random.PRNGKey(0), data)
+    base = float(energy_loss(model, params, data))
+    same = float(energy_loss(model, params, data, sc_weight=1.0))
+    assert same == base
+
+    wgt = float(energy_loss(model, params, data, sc_weight=4.0))
+    pred = np.asarray(model(params, data))
+    y = np.asarray(data["y"])
+    se = (pred - y) ** 2
+    expect = float(
+        (se * np.array([1.0, 1.0, 4.0])).mean() * (3.0 / 6.0)
+    )
+    np.testing.assert_allclose(wgt, expect, rtol=1e-6)

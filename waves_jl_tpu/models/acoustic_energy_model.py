@@ -264,10 +264,22 @@ class AcousticEnergyModel:
         return acc
 
 
-def energy_loss(model: AcousticEnergyModel, params, batch) -> jax.Array:
-    """MSE on all three energy channels (reference `scripts/main.jl:10-12`)."""
+def energy_loss(model: AcousticEnergyModel, params, batch,
+                sc_weight: float = 1.0) -> jax.Array:
+    """MSE on all three energy channels (reference `scripts/main.jl:10-12`).
+
+    `sc_weight` > 1 up-weights the scattered channel (mean-normalized so
+    the loss scale is comparable across weights): the scattered energy is
+    the control-relevant signal and the one the prediction benchmark
+    scores, while the baseline NODE spends ALL its capacity on it
+    (reference `src/model/node.jl:64-69`); the default 1.0 is the
+    reference's equal-weight loss."""
     pred = model(params, batch)
-    return jnp.mean((pred - batch["y"]) ** 2)
+    se = (pred - batch["y"]) ** 2
+    if sc_weight == 1.0:
+        return jnp.mean(se)
+    w = jnp.array([1.0, 1.0, float(sc_weight)], se.dtype)
+    return jnp.mean(se * w) * (3.0 / (2.0 + float(sc_weight)))
 
 
 def pool_ranking_loss(model: AcousticEnergyModel, params, pools,
