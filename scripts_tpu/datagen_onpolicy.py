@@ -50,6 +50,17 @@ def main():
     p.add_argument("--horizon", type=int, default=5)
     p.add_argument("--shots", type=int, default=256)
     p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--controller", choices=["random_shooting", "cem"],
+                   default="random_shooting",
+                   help="cem (optionally with --polish) records traces of "
+                        "the deployed record controller — the behavior-"
+                        "cloning harvest")
+    p.add_argument("--cem-iters", type=int, default=3)
+    p.add_argument("--cem-elites", type=int, default=32)
+    p.add_argument("--polish", type=int, default=0,
+                   help="gradient-polish steps on the CEM elites")
+    p.add_argument("--polish-topk", type=int, default=16)
+    p.add_argument("--polish-lr", type=float, default=0.02)
     p.add_argument("--latent-stride", type=int, default=1)
     p.add_argument("--n", type=int, default=700)
     p.add_argument("--steps", type=int, default=100)
@@ -69,7 +80,10 @@ def main():
              "actions": args.actions, "grid_size": 15.0, "c0": float(w.WATER),
              "source_freq": 1000.0, "onpolicy": {
                  "checkpoint": args.checkpoint, "epsilon": args.epsilon,
-                 "horizon": args.horizon, "shots": args.shots}}, f,
+                 "horizon": args.horizon, "shots": args.shots,
+                 "controller": args.controller, "cem_iters": args.cem_iters,
+                 "cem_elites": args.cem_elites, "polish": args.polish,
+                 "polish_topk": args.polish_topk}}, f,
         )
 
     model = AcousticEnergyModel.create(
@@ -88,8 +102,18 @@ def main():
     params, _, step_no = load_checkpoint(args.checkpoint, params_like)
     print(f"loaded checkpoint step {step_no} ({args.checkpoint})")
 
-    mpc = RandomShooting(model=model, horizon=args.horizon, shots=args.shots,
-                         alpha=args.alpha)
+    if args.controller == "cem":
+        from waves_jl_tpu.control import CEMShooting
+
+        mpc = CEMShooting(model=model, horizon=args.horizon, shots=args.shots,
+                          alpha=args.alpha, iters=args.cem_iters,
+                          elites=args.cem_elites,
+                          polish_steps=args.polish,
+                          polish_topk=args.polish_topk,
+                          polish_lr=args.polish_lr)
+    else:
+        mpc = RandomShooting(model=model, horizon=args.horizon,
+                             shots=args.shots, alpha=args.alpha)
     run = make_mpc_episode_recorded(env, mpc, epsilon=args.epsilon)
 
     key = jax.random.PRNGKey(args.seed)

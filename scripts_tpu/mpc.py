@@ -86,8 +86,11 @@ def main():
     p.add_argument("--n", type=int, default=700)
     p.add_argument("--controller",
                    choices=["random_shooting", "cem", "gradient", "oracle",
-                            "ensemble", "hybrid"],
+                            "ensemble", "hybrid", "policy"],
                    default="random_shooting")
+    p.add_argument("--policy-h-size", type=int, default=256,
+                   help="policy net width (--controller policy; the "
+                        "checkpoint is a train_bc.py AmortizedPolicy)")
     p.add_argument("--beta", type=float, default=1.0,
                    help="ensemble disagreement-penalty weight")
     p.add_argument("--topk", type=int, default=8,
@@ -153,7 +156,23 @@ def main():
         integration_steps=100 // args.latent_stride, dt=1e-5 * args.latent_stride,
     )
     dummy = env_reset(env, jax.random.PRNGKey(0))
-    if args.controller == "oracle":
+    if args.controller == "policy":
+        from waves_jl_tpu.env import env_observe
+        from waves_jl_tpu.models import AmortizedPolicy
+
+        space = w.build_triple_ring_design_space()
+        policy_model = AmortizedPolicy.create(
+            space, env.action_space, h_size=args.policy_h_size
+        )
+        obs0 = env_observe(env, dummy)
+        params_like = policy_model.init(
+            jax.random.PRNGKey(0), obs0.wave, dummy.design
+        )
+        assert len(args.checkpoint) == 1, "--controller policy takes one ckpt"
+        params, _, step_no = load_checkpoint(args.checkpoint[0], params_like)
+        print(f"loaded policy checkpoint step {step_no} "
+              f"({args.checkpoint[0]})")
+    elif args.controller == "oracle":
         params = None  # true-simulator shooting needs no surrogate weights
     else:
         from __graft_entry__ import _tiny_batch
@@ -191,7 +210,7 @@ def main():
         mpc = EnsembleShooting(models=tuple(model for _ in params),
                                horizon=args.horizon, shots=args.shots,
                                alpha=args.alpha, beta=args.beta)
-    elif args.controller in ("oracle", "hybrid"):
+    elif args.controller in ("oracle", "hybrid", "policy"):
         mpc = None  # selection is built below (per-action fused programs)
     else:
         mpc = GradientShooting(model=model, horizon=args.horizon,
@@ -265,6 +284,10 @@ def main():
                     signals.append(s.signal)
                     costs.append(c)
                 return s, jnp.stack(signals), jnp.stack(costs)
+    elif args.controller == "policy":
+        from waves_jl_tpu.control import make_policy_episode_fused
+
+        run_mpc = make_policy_episode_fused(env, policy_model)
     else:
         run_mpc = make_mpc_episode_fused(
             env, mpc, tile_interior=40 if args.fast else 48

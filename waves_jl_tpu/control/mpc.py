@@ -368,6 +368,40 @@ def make_mpc_episode_fused(env: WaveEnv, mpc: "RandomShooting",
     return run
 
 
+def make_policy_episode_fused(env: WaveEnv, policy,
+                              tile_interior: int = 48,
+                              interpret: bool = False):
+    """Whole episode under an amortized ONE-SHOT policy
+    (`models.AmortizedPolicy`): observe -> one conv forward -> Pallas env
+    window, scanned over actions in one device program. The zero-search
+    endgame of the distillation ladder — no candidate rollouts at decision
+    time at all (the reference's cheapest controller still rolls 256
+    candidate sequences per action, `scripts/mpc.jl:43-53`).
+
+    Signature matches `make_mpc_episode_fused`:
+    run(params, state, key) -> (final_state, signals (A, T+1, 3),
+    costs (A,) — zeros; a direct policy evaluates no candidate costs).
+    """
+    from ..physics.fused import make_env_step_fused
+
+    step = make_env_step_fused(env, tile_interior, interpret, jit=False)
+
+    @jax.jit
+    def run(params, state: EnvState, key: jax.Array):
+        def body(st, _):
+            obs = env_observe(env, st)
+            a = policy.action(params, obs.wave, st.design)
+            st2, _ = step(st, a)
+            return st2, (st2.signal, jnp.float32(0.0))
+
+        final, (signals, costs) = jax.lax.scan(
+            body, state, None, length=env.actions
+        )
+        return final, signals, costs
+
+    return run
+
+
 @dataclass(frozen=True)
 class OracleShooting:
     """Random shooting against the TRUE simulator instead of a surrogate —

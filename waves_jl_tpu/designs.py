@@ -284,6 +284,43 @@ def normalize_design(design, space: DesignSpace) -> jax.Array:
     return 2.0 * (design.to_vec() - lo) / (hi - lo + 1e-3) - 1.0
 
 
+def design_with_vec(template, v: jax.Array):
+    """Inverse of `to_vec`: a copy of `template` with its adjustable
+    parameter vector replaced by `v` (same layout `to_vec` emits). Used by
+    the amortized one-shot policy to turn a network output vector back
+    into an action pytree (no reference counterpart — the reference has no
+    direct policy, `scripts/mpc.jl` only searches)."""
+    import dataclasses
+
+    if isinstance(template, NoDesign):
+        return template
+    if isinstance(template, Cylinders):
+        m = len(template)
+        return dataclasses.replace(
+            template,
+            pos=v[: 2 * m].reshape(m, 2),
+            r=v[2 * m : 3 * m],
+            c=v[3 * m :],
+        )
+    if isinstance(template, AdjustableRadiiScatterers):
+        return dataclasses.replace(
+            template,
+            cylinders=dataclasses.replace(template.cylinders, r=v),
+        )
+    if isinstance(template, AdjustablePositionScatterers):
+        return dataclasses.replace(
+            template,
+            cylinders=dataclasses.replace(
+                template.cylinders, pos=v.reshape(-1, 2)
+            ),
+        )
+    if isinstance(template, Cloak):
+        return dataclasses.replace(
+            template, config=design_with_vec(template.config, v)
+        )
+    raise TypeError(type(template))
+
+
 # ---------------------------------------------------------------------------
 # Design-space factory functions (reference `src/designs.jl:303-365`)
 # ---------------------------------------------------------------------------

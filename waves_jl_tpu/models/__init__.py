@@ -10,4 +10,5 @@ from .design_encoder import DesignMLP, design_encoder_apply, unroll_design_seque
 from .node import NODEDynamics, NODEEnergyModel, node_loss
 from .pinn import WaveControlPINN, WaveControlPINNLoss, build_pinn_grid
 from .layers import CNNBase, MLP, ResidualBlock, embed_sin, leaky_relu, sin_basis
+from .policy import AmortizedPolicy, PolicyNet, bc_loss
 from .wave_encoder import WaveEncoder, WaveEncoderScalarHead
