@@ -51,6 +51,11 @@ POINTS = [
      (-55, -14)),
     ("mpc_results_pools3_cem_polish10.json", "gradient",
      "pools3 CEM+polish 10 (record)", (-118, 7)),
+    ("mpc_results_pools4_cem.json", "distilled", "CEM pools4"),
+    ("mpc_results_pools4_cem_polish10.json", "gradient",
+     "pools4 CEM+polish 10"),
+    ("mpc_results_bc_policy.json", "policy",
+     "one-shot policy (zero search)", (-40, 8)),
 ]
 
 FAMILIES = {  # palette slots 1-3 (validated all-pairs subset)
@@ -59,6 +64,7 @@ FAMILIES = {  # palette slots 1-3 (validated all-pairs subset)
     "surrogate": ("#1baf7a", "Pure surrogate", "^"),
     "distilled": ("#8a63d2", "Ranking-distilled surrogate", "D"),
     "gradient": ("#c2417e", "Gradient-polished (differentiable rollout)", "v"),
+    "policy": ("#a87b00", "Amortized one-shot policy (no search)", "*"),
 }
 SURFACE, INK, INK2 = "#fcfcfb", "#0b0b0b", "#52514e"
 
@@ -85,7 +91,8 @@ def main():
             continue
         color, fam_label, marker = FAMILIES[family]
         ax.scatter(
-            lat, 100 * q, s=52, color=color, marker=marker, zorder=3,
+            lat, 100 * q, s=130 if marker == "*" else 52,
+            color=color, marker=marker, zorder=3,
             edgecolors=SURFACE, linewidths=1.2,
             label=fam_label if family not in seen_families else None,
         )
